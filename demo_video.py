@@ -1,0 +1,278 @@
+"""Streaming video face-recognition CLI -> tracker.csv.
+
+Same flags, frame loop semantics and tracker.csv format as
+/root/reference/demo_video.py: read frames into a queue of ``n_frames``,
+batch detect/align/recognize, draw + optionally save frame_<idx>.png,
+append (Time, Names, Frame_idx, Bboxes[, Emotion]) rows with bboxes
+normalised to [0,1], report FPS, optionally re-mux saved frames to MP4.
+
+TPU redesign: the frame chunk is ONE device batch end-to-end (the
+reference looped per frame/face on the host), and decode of the next
+chunk overlaps with device compute via a reader thread.
+"""
+
+import argparse
+import glob
+import os
+import queue
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from vn_celeb_face_recognition_tpu.pipeline import (
+    center_point_dict,
+    draw_boxes_on_image,
+    draw_emotions,
+    parallel_detect_and_align,
+    recognize_celeb,
+    recognize_emotion,
+    sequential_detect_and_align,
+)
+from vn_celeb_face_recognition_tpu.utils import (
+    append_log_to_file,
+    convert_sec_to_max_time_quantity,
+)
+from demo_image import build_arg_parser as build_image_arg_parser, \
+    setup_models
+
+
+def export_video_face_recognition(output_frame_dir, fps, output_path):
+    """Re-encode saved frame_<i>.png files into an MP4
+    (reference demo_video.py:25-43)."""
+    import cv2
+
+    container_path = Path(output_frame_dir)
+    image_files = glob.glob(str(container_path / "*"))
+    n_images = len(image_files)
+    first_img = cv2.imread(str(container_path / "frame_1.png"))
+    height, width, _ = first_img.shape
+    out_writer = cv2.VideoWriter(
+        output_path, cv2.VideoWriter_fourcc(*"MP4V"), fps, (width, height)
+    )
+    for i in range(1, n_images + 1):
+        img = cv2.imread(str(container_path / "frame_{}.png".format(i)))
+        out_writer.write(img)
+    out_writer.release()
+    print("Save exported video in {} ...".format(output_path))
+
+
+def frame_chunks(video_path, n_frames, frame_idxes=None, prefetch=2):
+    """Decode chunks of n_frames on a reader thread. Yields
+    (frames list, infos list) where info = [time_in_video, count].
+    ``frame_idxes``: optional per-second frame indices to sample
+    (celeb_statistic.py:180-187 semantics)."""
+    import cv2
+
+    q = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+
+    def producer():
+        cap = cv2.VideoCapture(video_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        count = 0
+        frames, infos = [], []
+        while cap.isOpened():
+            ret, frame = cap.read()
+            if not ret:
+                break
+            count += 1
+            if frame_idxes is not None:
+                if not any(count % fps == idx for idx in frame_idxes):
+                    continue
+            frames.append(frame)
+            infos.append([count / fps, count])
+            if len(frames) == n_frames:
+                q.put((frames, infos))
+                frames, infos = [], []
+        if frames:
+            q.put((frames, infos))
+        cap.release()
+        q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def get_video_fps(video_path):
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    cap.release()
+    return fps
+
+
+def process_video(args, models, target_fs, center_point, threshold,
+                  frame_idxes=None, track_bbox=True):
+    """The shared frame loop (demo_video.py:46-199 /
+    celeb_statistic.py:110-295). Returns (processed_frames, wall_time)."""
+    import cv2
+
+    (label2name_df, detection_md, emb_model, classify_model, emt_model,
+     idx2etag) = models
+
+    if not os.path.exists(args.output_frame):
+        os.makedirs(args.output_frame)
+
+    box_requirements = None
+    if args.inference_method == "seq_fd_vs_aln":
+        box_requirements = {
+            "min_dim": args.min_dim_box,
+            "box_ratio": args.box_ratio,
+        }
+
+    df_columns = ["Time", "Names", "Frame_idx"]
+    if track_bbox:
+        df_columns.append("Bboxes")
+    if args.recog_emotion:
+        df_columns.append("Emotion")
+    with open(args.output_tracker, "w") as tracker_file:
+        tracker_file.write("")
+    append_log_to_file(args.output_tracker, df_columns)
+
+    processed_frame = 0
+    start_time = time.time()
+    for frames_queue, frames_info in frame_chunks(
+        args.video_path, args.n_frames, frame_idxes
+    ):
+        processed_frame += len(frames_queue)
+        if processed_frame % args.log_step == 0:
+            hms = convert_sec_to_max_time_quantity(frames_info[-1][0])
+            print(
+                "Processing for frame: {}, time: {}".format(
+                    frames_info[-1][1], hms
+                )
+            )
+
+        rgb_images = [
+            cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in frames_queue
+        ]
+        if args.inference_method == "seq_fd_vs_aln":
+            bth_alg_faces, bth_chosen_boxes = sequential_detect_and_align(
+                rgb_images, detection_md, center_point, target_fs,
+                box_requirements, False,
+            )
+        elif args.inference_method == "par_fd_vs_aln":
+            bth_alg_faces, bth_chosen_boxes = parallel_detect_and_align(
+                rgb_images, detection_md, center_point, target_fs, False
+            )
+        else:
+            raise SystemExit(
+                "Do not support {} method.".format(args.inference_method)
+            )
+
+        bth_names = recognize_celeb(
+            bth_alg_faces, None, emb_model, classify_model, None,
+            label2name_df, threshold,
+        )
+
+        np_image_recogs = []
+        for idx, names in enumerate(bth_names):
+            if len(names) > 0:
+                img_recog = draw_boxes_on_image(
+                    frames_queue[idx], bth_chosen_boxes[idx], names
+                )
+            else:
+                img_recog = frames_queue[idx]
+            np_image_recogs.append(img_recog)
+
+        bth_emotions = None
+        if args.recog_emotion:
+            map_func = np.vectorize(lambda x: idx2etag[x])
+            bth_emotions, bth_probs = recognize_emotion(
+                bth_alg_faces, None, emt_model, None, map_func,
+                args.topk_emotions,
+            )
+            for idx, (emotions, probs) in enumerate(
+                zip(bth_emotions, bth_probs)
+            ):
+                draw_emotions(
+                    np_image_recogs[idx], bth_chosen_boxes[idx], emotions,
+                    probs,
+                )
+
+        if getattr(args, "save_frame_recognized", False):
+            for idx, recog_img in enumerate(np_image_recogs):
+                image_name = "frame_{}.png".format(frames_info[idx][1])
+                cv2.imwrite(
+                    os.path.join(args.output_frame, image_name), recog_img
+                )
+
+        logged_rows = []
+        for idx, names in enumerate(bth_names):
+            bboxes = bth_chosen_boxes[idx]
+            row = [
+                str(frames_info[idx][0]),
+                '"' + str(list(names)) + '"',
+                str(frames_info[idx][1]),
+            ]
+            if track_bbox:
+                if bboxes is None or len(bboxes) == 0:
+                    scaled_bboxes = []
+                else:
+                    h, w, _ = frames_queue[idx].shape
+                    scale = np.array([w, h, w, h])
+                    scaled_bboxes = [list(x / scale) for x in bboxes]
+                row.append('"' + str(scaled_bboxes) + '"')
+            if args.recog_emotion:
+                emotions = bth_emotions[idx]
+                emotions_list = []
+                if len(bboxes) > 0:
+                    for i in range(len(emotions)):
+                        emotions_list.append(list(emotions[i]))
+                row.append('"' + str(emotions_list) + '"')
+            logged_rows.append(",".join(row) + "\n")
+
+        with open(args.output_tracker, "a") as tracker_file:
+            tracker_file.write("".join(logged_rows))
+
+    wall = time.time() - start_time
+    print("Saved tracker file in {} ...".format(args.output_tracker))
+    print(
+        "FPS for recognition face: {}".format(int(processed_frame / wall))
+    )
+    return processed_frame, wall
+
+
+def build_arg_parser():
+    p = build_image_arg_parser()
+    p.description = "Face recognition on a video (TPU)"
+    p.add_argument("-ot", "--output_tracker", default="tracker.csv",
+                   type=str)
+    p.add_argument("-ov", "--output_video", default="", type=str)
+    p.add_argument("-fps", "--fps_video", default=25.0, type=float)
+    p.add_argument("-sfr", "--save_frame_recognized", action="store_true")
+    p.add_argument("--log_step", default=100, type=int)
+    p.add_argument("--n_frames", default=16, type=int)
+    p.add_argument("-of", "--output_frame", default="output_frame",
+                   type=str)
+    # rename the image CLI's -i to the video path
+    return p
+
+
+def main():
+    parser = build_arg_parser()
+    parser.add_argument("-vp", "--video_path", default=None, type=str)
+    args = parser.parse_args()
+    if args.video_path is None:
+        args.video_path = args.image_path  # -i works like the reference
+
+    models = setup_models(args)
+    target_fs = (args.target_face_size, args.target_face_size)
+    center_point = center_point_dict[str(target_fs)]
+    process_video(args, models, target_fs, center_point,
+                  args.recog_threshold)
+    if args.output_video != "":
+        export_video_face_recognition(
+            args.output_frame, args.fps_video, args.output_video
+        )
+
+
+if __name__ == "__main__":
+    main()

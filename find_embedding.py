@@ -1,0 +1,105 @@
+"""Dataset embedding extraction CLI.
+
+Same surface as /root/reference/find_embedding.py: walk a directory of
+(aligned) face images, embed them with the chosen encoder, write one
+compressed ``<stem>.npz`` per image. TPU redesign: images are decoded
+on the host while the previous batch embeds on device (double
+buffering), the transform (fix_std) is fused into the jitted encoder
+forward, and the batch size stays FIXED (tail padded) so the whole run
+uses one compiled program.
+
+(The reference also had a latent import bug — `from data_loader import
+transforms` names a symbol that doesn't exist, find_embedding.py:2 —
+fixed here by construction.)
+"""
+
+import argparse
+import os
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from vn_celeb_face_recognition_tpu.data.transforms import transforms_dict
+from vn_celeb_face_recognition_tpu.pipeline import Encoder
+
+
+def iter_image_batches(data_dir, list_files, batch_size, prefetch=4):
+    """Decode images on a background thread into fixed-size batches."""
+    from PIL import Image
+
+    q = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+
+    def producer():
+        batch, names = [], []
+        for fname in list_files:
+            with Image.open(str(Path(data_dir) / fname)) as img:
+                batch.append(
+                    np.asarray(img.convert("RGB"), dtype=np.uint8)
+                )
+            names.append(fname)
+            if len(batch) == batch_size:
+                q.put((np.stack(batch), names))
+                batch, names = [], []
+        if batch:
+            n_real = len(batch)
+            while len(batch) < batch_size:  # pad the tail batch
+                batch.append(batch[0])
+            q.put((np.stack(batch), names[:n_real]))
+        q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def save_embeddings(embeddings, list_files, output_dir):
+    output_dir_path = Path(output_dir)
+    for i, fname in enumerate(list_files):
+        emb_name = "{}.npz".format(fname.split(".")[0])
+        np.savez_compressed(str(output_dir_path / emb_name), embeddings[i])
+
+
+def cal_embedding(data_dir, batch_size, model, output_dir, log=True):
+    if not os.path.exists(output_dir):
+        os.makedirs(output_dir)
+    list_files = sorted(os.listdir(data_dir))
+    n_batches = -(-len(list_files) // batch_size)
+    done = 0
+    for idx, (batch, names) in enumerate(
+        iter_image_batches(data_dir, list_files, batch_size)
+    ):
+        embeddings = model(batch.astype(np.float32))
+        save_embeddings(embeddings[: len(names)], names, output_dir)
+        done += len(names)
+        if log:
+            print("Processing for {}/{} batchs:".format(idx, n_batches))
+    if log:
+        print("Saved {} embeddings to {}".format(done, output_dir))
+    return done
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Find embedding vectors for all images in a dataset"
+    )
+    parser.add_argument("-d", "--data_dir", default="train")
+    parser.add_argument("-bz", "--batch_size", default=64, type=int)
+    parser.add_argument("-o", "--output_dir", default="train_embedding")
+    parser.add_argument("-w", "--pre_trained", default="vggface2")
+    parser.add_argument("-dv", "--device", default="TPU")
+    parser.add_argument("-enc", "--encoder", default="InceptionResnetV1")
+    args = parser.parse_args()
+
+    if args.encoder == "InceptionResnetV1":
+        model = Encoder.build("InceptionResnetV1",
+                              pretrained=args.pre_trained)
+    else:
+        model = Encoder.build(args.encoder, pretrained=True)
+    model.transform = transforms_dict["default"]
+    cal_embedding(args.data_dir, args.batch_size, model, args.output_dir)

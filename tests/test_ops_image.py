@@ -1,0 +1,68 @@
+"""Image-op tests with torch (area resize) and cv2 (warp) as oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vn_celeb_face_recognition_tpu.ops import image as I
+
+
+def test_area_resize_matches_torch_interpolate(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.uniform(0, 255, size=(2, 37, 53, 3)).astype(np.float32)
+    for out_hw in [(12, 17), (37, 53), (24, 24), (48, 48)]:
+        got = np.asarray(I.area_resize(jnp.asarray(x), out_hw))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = torch.nn.functional.interpolate(xt, size=out_hw, mode="area")
+        want = want.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_area_resize_upscale_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    x = rng.uniform(0, 255, size=(1, 16, 16, 3)).astype(np.float32)
+    got = np.asarray(I.area_resize(jnp.asarray(x), (33, 41)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = torch.nn.functional.interpolate(xt, size=(33, 41), mode="area")
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_warp_affine_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.uniform(0, 255, size=(64, 80, 3)).astype(np.float32)
+    m = np.array([[0.9, 0.1, 3.0], [-0.1, 0.9, 5.0]], dtype=np.float32)
+    got = np.asarray(I.warp_affine(jnp.asarray(img), jnp.asarray(m),
+                                   (48, 56)))
+    want = cv2.warpAffine(img, m, (56, 48), borderValue=0.0)
+    # interiors match bilinear cv2; allow tolerance at border pixels
+    diff = np.abs(got - want)
+    assert np.median(diff) < 0.5
+    assert (diff < 2.0).mean() > 0.97
+
+
+def test_crop_resize_covers_box(rng):
+    # a constant-color box region must crop to that constant
+    img = np.zeros((50, 50, 3), dtype=np.float32)
+    img[9:30, 4:20] = 7.0
+    box = jnp.asarray([5.0, 10.0, 20.0, 30.0])  # 1-based inclusive
+    out = np.asarray(I.crop_resize_bilinear(jnp.asarray(img), box, 24))
+    np.testing.assert_allclose(out, 7.0, atol=1e-4)
+
+
+def test_fixed_standardization_and_prewhiten(rng):
+    x = rng.uniform(0, 255, size=(8, 8, 3)).astype(np.float32)
+    s = np.asarray(I.fixed_image_standardization(jnp.asarray(x)))
+    np.testing.assert_allclose(s, (x - 127.5) / 128.0, atol=1e-6)
+    w = np.asarray(I.prewhiten(jnp.asarray(x)))
+    assert abs(w.mean()) < 1e-4
+    assert abs(w.std() - 1.0) < 1e-3
+
+
+def test_invert_affine():
+    m = jnp.asarray([[1.5, 0.2, 3.0], [-0.3, 0.8, -2.0]])
+    inv = I.invert_affine(m)
+    # compose forward . inverse == identity
+    a = np.vstack([np.asarray(m), [0, 0, 1]])
+    b = np.vstack([np.asarray(inv), [0, 0, 1]])
+    np.testing.assert_allclose(a @ b, np.eye(3), atol=1e-5)

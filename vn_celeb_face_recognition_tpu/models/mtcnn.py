@@ -1,0 +1,611 @@
+"""MTCNN cascade face detector, TPU-native.
+
+Reference behaviour: /root/reference/models/mtcnn.py (P/R/O-net modules,
+MTCNN.detect/select_boxes/extract/inference) and models/mtcnn_utils/
+detect_face.py:25-185 (scale pyramid, three cascade stages, NMS chain,
+landmark decode). Same architecture, thresholds and box math — but the
+engine is redesigned for XLA:
+
+  * The reference loops in Python per scale, per box and per image, with
+    device<->host round trips at every NMS. Here the WHOLE cascade is a
+    single jitted program per (batch, height, width) signature.
+  * Data-dependent box counts become fixed CAPACITIES with validity
+    masks: top-K per pyramid scale after PNet, ``rnet_cap`` candidates
+    into stage 2, ``onet_cap`` into stage 3, ``out_cap`` final faces.
+    Capacities are config knobs; thresholded-out or NMS-suppressed rows
+    simply carry valid=False and ride along at zero marginal cost.
+  * The per-box Python crop loops (detect_face.py:109-112,138-141)
+    become one batched bilinear crop-resize gather over the padded
+    candidate set; pyramid resizes are exact "area" resampling expressed
+    as two MXU matmul contractions (ops/image.area_resize).
+  * All three NMS variants (per-scale 0.5 / cross-scale+stage-2 0.7 IoU,
+    stage-3 0.7 "Min" with the +1 area convention) run on device via the
+    masked O(K^2) formulation in ops/boxes.
+
+Weights: the reference ships pnet/rnet/onet torch state_dicts in-repo
+(models/weights_mtcnn/*.pt); ``load_mtcnn_variables`` converts them via
+models/torch_convert (tools/convert_weights.py caches the converted
+npz so torch is only needed once).
+"""
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..ops import boxes as B
+from ..ops.image import area_resize, batched_crop_resize
+from .layers import PReLU, max_pool_ceil
+
+
+# ---------------------------------------------------------------------------
+# The three cascade networks (architectures per reference mtcnn.py:9-157)
+# ---------------------------------------------------------------------------
+
+
+class PNet(nn.Module):
+    """Proposal net: fully-convolutional 12x12 face scorer."""
+
+    dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(10, (3, 3), padding="VALID", name="conv1")(x)
+        x = PReLU(10, name="prelu1")(x)
+        x = max_pool_ceil(x, 2, 2, ceil_mode=True)
+        x = nn.Conv(16, (3, 3), padding="VALID", name="conv2")(x)
+        x = PReLU(16, name="prelu2")(x)
+        x = nn.Conv(32, (3, 3), padding="VALID", name="conv3")(x)
+        x = PReLU(32, name="prelu3")(x)
+        a = nn.Conv(2, (1, 1), padding="VALID", name="conv4_1")(x)
+        a = nn.softmax(a, axis=-1)
+        b = nn.Conv(4, (1, 1), padding="VALID", name="conv4_2")(x)
+        return b, a
+
+
+class RNet(nn.Module):
+    """Refinement net on 24x24 crops."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(28, (3, 3), padding="VALID", name="conv1")(x)
+        x = PReLU(28, name="prelu1")(x)
+        x = max_pool_ceil(x, 3, 2, ceil_mode=True)
+        x = nn.Conv(48, (3, 3), padding="VALID", name="conv2")(x)
+        x = PReLU(48, name="prelu2")(x)
+        x = max_pool_ceil(x, 3, 2, ceil_mode=True)
+        x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
+        x = PReLU(64, name="prelu3")(x)
+        # torch flattens NCHW permuted to (N, W, H, C); our NHWC needs the
+        # same (W, H, C) element order for dense4 weight parity
+        # (reference mtcnn.py:93-94).
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(x.shape[0], -1)
+        x = nn.Dense(128, name="dense4")(x)
+        x = PReLU(128, name="prelu4")(x)
+        a = nn.Dense(2, name="dense5_1")(x)
+        a = nn.softmax(a, axis=-1)
+        b = nn.Dense(4, name="dense5_2")(x)
+        return b, a
+
+
+class ONet(nn.Module):
+    """Output net on 48x48 crops; adds 5-point landmarks."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(32, (3, 3), padding="VALID", name="conv1")(x)
+        x = PReLU(32, name="prelu1")(x)
+        x = max_pool_ceil(x, 3, 2, ceil_mode=True)
+        x = nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x)
+        x = PReLU(64, name="prelu2")(x)
+        x = max_pool_ceil(x, 3, 2, ceil_mode=True)
+        x = nn.Conv(64, (3, 3), padding="VALID", name="conv3")(x)
+        x = PReLU(64, name="prelu3")(x)
+        x = max_pool_ceil(x, 2, 2, ceil_mode=True)
+        x = nn.Conv(128, (2, 2), padding="VALID", name="conv4")(x)
+        x = PReLU(128, name="prelu4")(x)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(x.shape[0], -1)
+        x = nn.Dense(256, name="dense5")(x)
+        x = PReLU(256, name="prelu5")(x)
+        a = nn.Dense(2, name="dense6_1")(x)
+        a = nn.softmax(a, axis=-1)
+        b = nn.Dense(4, name="dense6_2")(x)
+        c = nn.Dense(10, name="dense6_3")(x)
+        return b, c, a
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+_DEFAULT_WEIGHT_SOURCES = (
+    os.path.join(os.path.dirname(__file__), "weights_mtcnn"),
+    "/root/reference/models/weights_mtcnn",
+)
+
+
+def load_mtcnn_variables(weights_dir=None):
+    """Load the published pnet/rnet/onet torch weights and convert.
+
+    Looks for converted ``{p,r,o}net.npz`` first (written by
+    tools/convert_weights.py), then falls back to torch ``.pt`` files.
+    Returns dict of flax variables per net, or None if nothing found.
+    """
+    from .torch_convert import convert_state_dict, load_torch_checkpoint
+
+    dirs = [weights_dir] if weights_dir else list(_DEFAULT_WEIGHT_SOURCES)
+    for d in dirs:
+        if d is None or not os.path.isdir(d):
+            continue
+        out = {}
+        ok = True
+        for net in ("pnet", "rnet", "onet"):
+            npz = os.path.join(d, f"{net}.npz")
+            pt = os.path.join(d, f"{net}.pt")
+            if os.path.exists(npz):
+                loaded = np.load(npz)
+                sd = {k: loaded[k] for k in loaded.files}
+                out[net] = convert_state_dict(sd)
+            elif os.path.exists(pt):
+                out[net] = convert_state_dict(load_torch_checkpoint(pt))
+            else:
+                ok = False
+                break
+        if ok:
+            return out
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Cascade engine
+# ---------------------------------------------------------------------------
+
+
+def _normalize(x):
+    return (x - 127.5) * 0.0078125  # detect_face.py:72,114,143
+
+
+def _stage1_boxes(score, reg, scale, h_cells, w_cells, threshold):
+    """Dense PNet outputs -> candidate boxes (generateBoundingBox,
+    detect_face.py:203-218). score [B, h, w], reg [B, h, w, 4]."""
+    stride, cellsize = 2.0, 12.0
+    jj = jnp.arange(w_cells, dtype=jnp.float32)[None, :]
+    ii = jnp.arange(h_cells, dtype=jnp.float32)[:, None]
+    q1x = jnp.floor((stride * jj + 1.0) / scale)
+    q1y = jnp.floor((stride * ii + 1.0) / scale)
+    q2x = jnp.floor((stride * jj + cellsize) / scale)
+    q2y = jnp.floor((stride * ii + cellsize) / scale)
+    b = score.shape[0]
+    n = h_cells * w_cells
+    boxes = jnp.stack(
+        [
+            jnp.broadcast_to(q1x, (h_cells, w_cells)),
+            jnp.broadcast_to(q1y, (h_cells, w_cells)),
+            jnp.broadcast_to(q2x, (h_cells, w_cells)),
+            jnp.broadcast_to(q2y, (h_cells, w_cells)),
+        ],
+        axis=-1,
+    ).reshape(1, n, 4)
+    boxes = jnp.broadcast_to(boxes, (b, n, 4))
+    score = score.reshape(b, n)
+    reg = reg.reshape(b, n, 4)
+    valid = score >= threshold
+    return boxes, score, reg, valid
+
+
+def _stage1_bbreg(boxes, reg):
+    """Stage-1 regression WITHOUT the +1 width convention
+    (detect_face.py:96-102)."""
+    regw = boxes[..., 2] - boxes[..., 0]
+    regh = boxes[..., 3] - boxes[..., 1]
+    return jnp.stack(
+        [
+            boxes[..., 0] + reg[..., 0] * regw,
+            boxes[..., 1] + reg[..., 1] * regh,
+            boxes[..., 2] + reg[..., 2] * regw,
+            boxes[..., 3] + reg[..., 3] * regh,
+        ],
+        axis=-1,
+    )
+
+
+class MTCNN:
+    """Batched MTCNN detector with the reference's public surface.
+
+    Constructor args mirror reference mtcnn.py:200-227 (margin,
+    min_face_size, thresholds, factor, post_process, select_largest,
+    selection_method, keep_all); capacity knobs are new and bound the
+    padded candidate sets per stage.
+    """
+
+    def __init__(
+        self,
+        image_size=160,
+        margin=0,
+        min_face_size=20,
+        thresholds=(0.6, 0.7, 0.7),
+        factor=0.709,
+        post_process=True,
+        select_largest=True,
+        selection_method=None,
+        keep_all=False,
+        device=None,
+        weights_dir=None,
+        pnet_cap_per_scale=448,
+        rnet_cap=256,
+        onet_cap=128,
+        out_cap=64,
+        dtype=jnp.float32,
+    ):
+        self.image_size = image_size
+        self.margin = margin
+        self.min_face_size = min_face_size
+        self.thresholds = tuple(thresholds)
+        self.factor = factor
+        self.post_process = post_process
+        self.select_largest = select_largest
+        self.keep_all = keep_all
+        self.selection_method = selection_method or (
+            "largest" if select_largest else "probability"
+        )
+        self.pnet_cap_per_scale = pnet_cap_per_scale
+        self.rnet_cap = rnet_cap
+        self.onet_cap = onet_cap
+        self.out_cap = out_cap
+        self.dtype = dtype
+
+        self.pnet = PNet()
+        self.rnet = RNet()
+        self.onet = ONet()
+        variables = load_mtcnn_variables(weights_dir)
+        if variables is None:
+            # random init (tests/training-from-scratch path)
+            key = jax.random.PRNGKey(0)
+            variables = {
+                "pnet": self.pnet.init(key, jnp.zeros((1, 12, 12, 3))),
+                "rnet": self.rnet.init(key, jnp.zeros((1, 24, 24, 3))),
+                "onet": self.onet.init(key, jnp.zeros((1, 48, 48, 3))),
+            }
+        self.variables = variables
+        self._jit_cache = {}
+
+    # -- scale pyramid (detect_face.py:50-60) ---------------------------
+
+    def _scales(self, h, w):
+        m = 12.0 / self.min_face_size
+        minl = min(h, w) * m
+        scales = []
+        scale = m
+        while minl >= 12.0:
+            scales.append(scale)
+            scale *= self.factor
+            minl *= self.factor
+        return scales
+
+    # -- the jitted cascade --------------------------------------------
+
+    def _build_detect_fn(self, batch, h, w):
+        scales = self._scales(h, w)
+        thr = self.thresholds
+        k1 = self.pnet_cap_per_scale
+        k2 = self.rnet_cap
+        k3 = self.onet_cap
+        kout = self.out_cap
+        pnet, rnet, onet = self.pnet, self.rnet, self.onet
+
+        def detect(variables, imgs_u8):
+            imgs = imgs_u8.astype(jnp.float32)
+            all_boxes, all_scores, all_regs, all_valid = [], [], [], []
+
+            # ---- stage 1: pyramid + PNet + per-scale NMS(0.5) ----
+            for scale in scales:
+                hs = int(h * scale + 1)
+                ws = int(w * scale + 1)
+                im = area_resize(imgs, (hs, ws))
+                reg, probs = pnet.apply(variables["pnet"], _normalize(im))
+                hc, wc = reg.shape[1], reg.shape[2]
+                boxes, score, reg, valid = _stage1_boxes(
+                    probs[..., 1], reg, scale, hc, wc, thr[0]
+                )
+                # cap per scale by score
+                def cap_one(bx, sc, rg, vl):
+                    idx, still = B.top_k_select(sc, vl, min(k1, sc.shape[0]))
+                    return bx[idx], sc[idx], rg[idx], still
+
+                boxes, score, reg, valid = jax.vmap(cap_one)(
+                    boxes, score, reg, valid
+                )
+                keep = B.batched_nms_keep_mask(boxes, score, valid, 0.5)
+                all_boxes.append(boxes)
+                all_scores.append(score)
+                all_regs.append(reg)
+                all_valid.append(valid & keep)
+
+            boxes = jnp.concatenate(all_boxes, axis=1)
+            score = jnp.concatenate(all_scores, axis=1)
+            reg = jnp.concatenate(all_regs, axis=1)
+            valid = jnp.concatenate(all_valid, axis=1)
+
+            # ---- cross-scale NMS(0.7) + cap to rnet capacity ----
+            keep = B.batched_nms_keep_mask(boxes, score, valid, 0.7)
+            valid = valid & keep
+
+            def cap2(bx, sc, rg, vl):
+                idx, still = B.top_k_select(sc, vl, k2)
+                return bx[idx], sc[idx], rg[idx], still
+
+            boxes, score, reg, valid = jax.vmap(cap2)(boxes, score, reg,
+                                                      valid)
+            boxes = _stage1_bbreg(boxes, reg)
+            boxes = B.rerec(boxes)
+
+            # ---- stage 2: batched 24x24 crops + RNet ----
+            # crop coords are clamped ints (the reference's pad()), but
+            # the box math below keeps the unclamped floats
+            crop_boxes = B.clamp_boxes(boxes, w, h)
+            img_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), k2)
+            flat_boxes = crop_boxes.reshape(batch * k2, 4)
+            crops = batched_crop_resize(imgs, flat_boxes, img_idx, 24)
+            r_reg, r_prob = rnet.apply(variables["rnet"],
+                                       _normalize(crops))
+            r_score = r_prob[:, 1].reshape(batch, k2)
+            r_reg = r_reg.reshape(batch, k2, 4)
+            valid = valid & (r_score > thr[1])
+            keep = B.batched_nms_keep_mask(boxes, r_score, valid, 0.7)
+            valid = valid & keep
+            boxes = B.bbreg(boxes, r_reg)
+            boxes = B.rerec(boxes)
+
+            def cap3(bx, sc, vl):
+                idx, still = B.top_k_select(sc, vl, k3)
+                return bx[idx], sc[idx], still
+
+            boxes, score, valid = jax.vmap(cap3)(boxes, r_score, valid)
+
+            # ---- stage 3: batched 48x48 crops + ONet ----
+            crop_boxes = B.clamp_boxes(boxes, w, h)
+            img_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), k3)
+            flat_boxes = crop_boxes.reshape(batch * k3, 4)
+            crops = batched_crop_resize(imgs, flat_boxes, img_idx, 48)
+            o_reg, o_landm, o_prob = onet.apply(
+                variables["onet"], _normalize(crops)
+            )
+            o_score = o_prob[:, 1].reshape(batch, k3)
+            o_reg = o_reg.reshape(batch, k3, 4)
+            o_landm = o_landm.reshape(batch, k3, 10)
+            valid = valid & (o_score > thr[2])
+
+            # landmark decode BEFORE bbreg, on the unclamped boxes
+            # (detect_face.py:159-163)
+            bw = boxes[..., 2] - boxes[..., 0] + 1.0
+            bh = boxes[..., 3] - boxes[..., 1] + 1.0
+            pts_x = bw[..., None] * o_landm[..., :5] + boxes[..., 0:1] - 1.0
+            pts_y = bh[..., None] * o_landm[..., 5:10] + boxes[..., 1:2] - 1.0
+            points = jnp.stack([pts_x, pts_y], axis=-1)  # [B, K, 5, 2]
+
+            boxes = B.bbreg(boxes, o_reg)
+            keep = B.batched_nms_keep_mask(
+                boxes, o_score, valid, 0.7, offset=1.0, min_mode=True
+            )
+            valid = valid & keep
+
+            def cap_out(bx, sc, pt, vl):
+                idx, still = B.top_k_select(sc, vl, kout)
+                return bx[idx], sc[idx], pt[idx], still
+
+            boxes, score, points, valid = jax.vmap(cap_out)(
+                boxes, o_score, points, valid
+            )
+            return boxes, score, points, valid
+
+        return jax.jit(detect)
+
+    def _detect_padded(self, imgs_u8):
+        batch, h, w = imgs_u8.shape[:3]
+        key = (batch, h, w)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_detect_fn(batch, h, w)
+        return self._jit_cache[key](self.variables, imgs_u8)
+
+    # -- host-side API (parity with reference mtcnn.py:278-513) ---------
+
+    @staticmethod
+    def _as_batch(img):
+        """Normalise PIL / ndarray / list input to (array [B,H,W,3],
+        batch_mode flag)."""
+        if isinstance(img, (list, tuple)):
+            arrs = [np.asarray(x, dtype=np.uint8) for x in img]
+            if any(a.shape != arrs[0].shape for a in arrs):
+                raise Exception(
+                    "MTCNN batch processing only compatible with "
+                    "equal-dimension images."
+                )
+            return np.stack(arrs), True
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 3:
+            return arr[None], False
+        return arr, True
+
+    def detect(self, img, landmarks=False):
+        imgs, batch_mode = self._as_batch(img)
+        b_boxes, b_score, b_points, b_valid = jax.device_get(
+            self._detect_padded(imgs)
+        )
+        boxes_out, probs_out, points_out = [], [], []
+        for i in range(imgs.shape[0]):
+            v = b_valid[i]
+            if not v.any():
+                boxes_out.append([])
+                probs_out.append([])
+                points_out.append([])
+                continue
+            bx = b_boxes[i][v]
+            sc = b_score[i][v]
+            pt = b_points[i][v]
+            if self.select_largest:
+                order = np.argsort(
+                    (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1])
+                )[::-1]
+            else:
+                order = np.argsort(sc)[::-1]
+            boxes_out.append(bx[order])
+            probs_out.append(sc[order])
+            points_out.append(pt[order])
+
+        boxes_np = np.array(boxes_out, dtype=object)
+        probs_np = np.array(probs_out, dtype=object)
+        points_np = np.array(points_out, dtype=object)
+        if not batch_mode:
+            boxes_np, probs_np, points_np = (
+                boxes_out[0], probs_out[0], points_out[0]
+            )
+        if landmarks:
+            return boxes_np, probs_np, points_np
+        return boxes_np, probs_np
+
+    def inference(self, rgb_image, landmark=True):
+        """Reference mtcnn.py:511-513."""
+        return self.detect(rgb_image, landmark)
+
+    def select_boxes(self, all_boxes, all_probs, all_points, imgs,
+                     method="probability", threshold=0.9,
+                     center_weight=2.0):
+        """Single-face selection heuristics (mtcnn.py:363-456)."""
+        batch_mode = isinstance(imgs, (list, tuple)) or (
+            isinstance(imgs, np.ndarray) and imgs.ndim == 4
+        )
+        if not batch_mode:
+            imgs = [imgs]
+            all_boxes = [all_boxes]
+            all_probs = [all_probs]
+            all_points = [all_points]
+
+        sel_boxes, sel_probs, sel_points = [], [], []
+        for boxes, points, probs, img in zip(all_boxes, all_points,
+                                             all_probs, imgs):
+            boxes = np.asarray(boxes)
+            probs = np.asarray(probs)
+            points = np.asarray(points)
+            if len(boxes) == 0:
+                sel_boxes.append(None)
+                sel_probs.append([None])
+                sel_points.append(None)
+                continue
+            if method == "largest":
+                order = np.argsort(
+                    (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                )[::-1]
+            elif method == "probability":
+                order = np.argsort(probs)[::-1]
+            elif method == "center_weighted_size":
+                sizes = (boxes[:, 2] - boxes[:, 0]) * (
+                    boxes[:, 3] - boxes[:, 1]
+                )
+                img_arr = np.asarray(img)
+                center = (img_arr.shape[1] / 2, img_arr.shape[0] / 2)
+                centers = np.stack(
+                    [
+                        (boxes[:, 0] + boxes[:, 2]) / 2,
+                        (boxes[:, 1] + boxes[:, 3]) / 2,
+                    ],
+                    axis=1,
+                )
+                off2 = np.sum((centers - center) ** 2, axis=1)
+                order = np.argsort(sizes - off2 * center_weight)[::-1]
+            elif method == "largest_over_threshold":
+                mask = probs > threshold
+                if mask.sum() == 0:
+                    sel_boxes.append(None)
+                    sel_probs.append([None])
+                    sel_points.append(None)
+                    continue
+                boxes, probs, points = boxes[mask], probs[mask], points[mask]
+                order = np.argsort(
+                    (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                )[::-1]
+            else:
+                raise ValueError(f"Unknown selection method '{method}'")
+            sel_boxes.append(boxes[order][[0]])
+            sel_probs.append(probs[order][[0]])
+            sel_points.append(points[order][[0]])
+
+        if batch_mode:
+            return (
+                np.array(sel_boxes, dtype=object),
+                np.array(sel_probs, dtype=object),
+                np.array(sel_points, dtype=object),
+            )
+        return sel_boxes[0], sel_probs[0][0], sel_points[0]
+
+    def extract(self, img, batch_boxes, save_path=None):
+        """Crop faces to image_size with margin (mtcnn.py:458-509),
+        returning float arrays [n, S, S, 3] (standardised when
+        post_process=True)."""
+        imgs, batch_mode = self._as_batch(img)
+        if not batch_mode:
+            batch_boxes = [batch_boxes]
+        faces = []
+        for i, box_im in enumerate(batch_boxes):
+            if box_im is None or len(box_im) == 0:
+                faces.append(None)
+                continue
+            box_im = np.asarray(box_im, dtype=np.float32)
+            if not self.keep_all:
+                box_im = box_im[[0]]
+            face_list = []
+            for box in box_im:
+                face = extract_face(
+                    imgs[i], box, self.image_size, self.margin
+                )
+                if self.post_process:
+                    face = (face - 127.5) / 128.0
+                face_list.append(face)
+            faces.append(
+                np.stack(face_list) if self.keep_all else face_list[0]
+            )
+        if not batch_mode:
+            return faces[0]
+        return faces
+
+    def __call__(self, img, save_path=None, return_prob=False,
+                 extract_face_flag=True):
+        batch_boxes, batch_probs, batch_points = self.detect(
+            img, landmarks=True
+        )
+        if not self.keep_all:
+            batch_boxes, batch_probs, batch_points = self.select_boxes(
+                batch_boxes, batch_probs, batch_points, img,
+                method=self.selection_method,
+            )
+        faces = self.extract(img, batch_boxes) if extract_face_flag else None
+        if return_prob:
+            return faces, batch_boxes, batch_probs
+        return faces, batch_boxes
+
+    # torch-API no-op for drop-in compatibility
+    def eval(self):
+        return self
+
+
+def extract_face(img, box, image_size=160, margin=0):
+    """Crop + margin + area resize on the host (detect_face.py:342-377).
+    img: uint8 [H, W, 3]; returns float32 [S, S, 3]."""
+    from PIL import Image
+
+    margin_px = [
+        margin * (box[2] - box[0]) / (image_size - margin),
+        margin * (box[3] - box[1]) / (image_size - margin),
+    ] if margin else [0, 0]
+    h, w = img.shape[:2]
+    x1 = int(max(box[0] - margin_px[0] / 2, 0))
+    y1 = int(max(box[1] - margin_px[1] / 2, 0))
+    x2 = int(min(box[2] + margin_px[0] / 2, w))
+    y2 = int(min(box[3] + margin_px[1] / 2, h))
+    crop = img[y1:y2, x1:x2]
+    pil = Image.fromarray(crop).resize(
+        (image_size, image_size), Image.BILINEAR
+    )
+    return np.asarray(pil, dtype=np.float32)

@@ -1,0 +1,262 @@
+"""On-device data augmentation, replacing the reference's imgaug stack.
+
+The reference augments on the host with imgaug inside the Dataset
+(__getitem__), one image at a time (/root/reference/data_loader/
+__init__.py:10-25,45-49,58-65). Here every augmenter is a pure, jittable
+function of ``(rng_key, image)`` on float images in [0, 255], vmapped
+over the batch and fused into the training step — the online-aug trainer
+therefore keeps its frozen-encoder forward and its augmentation on the
+TPU with zero host round trips.
+
+Pipelines provided (matching reference names):
+  * ``rank1_vn_celeb_aug``: Fliplr(0.5) + Sometimes(0.8, OneOf[grayscale,
+    hue/sat +-20, add +-20, multiply 0.5-1.5, gaussian blur 0-2,
+    contrast 0.5-2, sharpen, emboss]) then per-image prewhiten
+    (data_loader/__init__.py:11-25,45-49).
+  * ``facenet_aug``: rotation +-10deg, random crop to 160 with pad 2,
+    horizontal flip, then fixed standardisation
+    (data_loader/__init__.py:58-65).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .image import fixed_image_standardization, prewhiten, warp_affine
+
+
+# ---------------------------------------------------------------------------
+# Colour-space helpers
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_hsv(rgb):
+    """RGB [0,1] -> HSV [0,1]."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta == 0.0, 0.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    """HSV [0,1] -> RGB [0,1]."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Single-image augmenters (float images in [0, 255])
+# ---------------------------------------------------------------------------
+
+
+def aug_grayscale(key, img):
+    alpha = jax.random.uniform(key)
+    gray = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )[..., None]
+    return (1.0 - alpha) * img + alpha * gray
+
+
+def aug_hue_saturation(key, img, value_range=(-20.0, 20.0)):
+    k1, k2 = jax.random.split(key)
+    dh = jax.random.uniform(k1, minval=value_range[0], maxval=value_range[1])
+    ds = jax.random.uniform(k2, minval=value_range[0], maxval=value_range[1])
+    hsv = rgb_to_hsv(jnp.clip(img / 255.0, 0.0, 1.0))
+    h = (hsv[..., 0] + dh / 255.0) % 1.0
+    s = jnp.clip(hsv[..., 1] + ds / 255.0, 0.0, 1.0)
+    out = hsv_to_rgb(jnp.stack([h, s, hsv[..., 2]], axis=-1)) * 255.0
+    return out
+
+
+def aug_add(key, img, value_range=(-20.0, 20.0), per_channel_prob=0.5):
+    k1, k2, k3 = jax.random.split(key, 3)
+    per_channel = jax.random.bernoulli(k1, per_channel_prob)
+    add_c = jax.random.uniform(k2, (3,), minval=value_range[0],
+                               maxval=value_range[1])
+    add_s = jax.random.uniform(k3, minval=value_range[0],
+                               maxval=value_range[1])
+    add = jnp.where(per_channel, add_c, add_s)
+    return jnp.clip(img + add, 0.0, 255.0)
+
+
+def aug_multiply(key, img, value_range=(0.5, 1.5), per_channel_prob=0.5):
+    k1, k2, k3 = jax.random.split(key, 3)
+    per_channel = jax.random.bernoulli(k1, per_channel_prob)
+    mul_c = jax.random.uniform(k2, (3,), minval=value_range[0],
+                               maxval=value_range[1])
+    mul_s = jax.random.uniform(k3, minval=value_range[0],
+                               maxval=value_range[1])
+    mul = jnp.where(per_channel, mul_c, mul_s)
+    return jnp.clip(img * mul, 0.0, 255.0)
+
+
+def aug_gaussian_blur(key, img, sigma_range=(0.0, 2.0), radius=4):
+    sigma = jax.random.uniform(key, minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    sigma = jnp.maximum(sigma, 1e-3)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kernel = jnp.exp(-0.5 * (x / sigma) ** 2)
+    kernel = kernel / jnp.sum(kernel)
+    # Separable blur via two 1-D convolutions (VPU-friendly, static size).
+    img_t = jnp.moveaxis(img, -1, 0)[:, None]  # [C, 1, H, W]
+    kh = kernel[None, None, :, None]
+    kw = kernel[None, None, None, :]
+    out = jax.lax.conv_general_dilated(img_t, kh, (1, 1),
+                                       [(radius, radius), (0, 0)])
+    out = jax.lax.conv_general_dilated(out, kw, (1, 1),
+                                       [(0, 0), (radius, radius)])
+    return jnp.moveaxis(out[:, 0], 0, -1)
+
+
+def aug_contrast(key, img, alpha_range=(0.5, 2.0), per_channel_prob=0.5):
+    k1, k2, k3 = jax.random.split(key, 3)
+    per_channel = jax.random.bernoulli(k1, per_channel_prob)
+    a_c = jax.random.uniform(k2, (3,), minval=alpha_range[0],
+                             maxval=alpha_range[1])
+    a_s = jax.random.uniform(k3, minval=alpha_range[0], maxval=alpha_range[1])
+    alpha = jnp.where(per_channel, a_c, a_s)
+    return jnp.clip((img - 127.5) * alpha + 127.5, 0.0, 255.0)
+
+
+def _conv3x3_per_channel(img, kernel):
+    img_t = jnp.moveaxis(img, -1, 0)[:, None]  # [C, 1, H, W]
+    k = kernel[None, None]
+    out = jax.lax.conv_general_dilated(img_t, k, (1, 1),
+                                       [(1, 1), (1, 1)])
+    return jnp.moveaxis(out[:, 0], 0, -1)
+
+
+def aug_sharpen(key, img, alpha_range=(0.0, 0.5), lightness_range=(0.7, 1.3)):
+    k1, k2 = jax.random.split(key)
+    alpha = jax.random.uniform(k1, minval=alpha_range[0],
+                               maxval=alpha_range[1])
+    lightness = jax.random.uniform(k2, minval=lightness_range[0],
+                                   maxval=lightness_range[1])
+    effect = jnp.array(
+        [[-1.0, -1.0, -1.0], [-1.0, 8.0 + lightness, -1.0],
+         [-1.0, -1.0, -1.0]]
+    )
+    sharp = _conv3x3_per_channel(img, effect)
+    return jnp.clip((1.0 - alpha) * img + alpha * sharp, 0.0, 255.0)
+
+
+def aug_emboss(key, img, alpha_range=(0.0, 0.5), strength_range=(0.0, 1.5)):
+    k1, k2 = jax.random.split(key)
+    alpha = jax.random.uniform(k1, minval=alpha_range[0],
+                               maxval=alpha_range[1])
+    strength = jax.random.uniform(k2, minval=strength_range[0],
+                                  maxval=strength_range[1])
+    effect = jnp.array(
+        [
+            [-1.0 - strength, 0.0 - strength, 0.0],
+            [0.0 - strength, 1.0, 0.0 + strength],
+            [0.0, 0.0 + strength, 1.0 + strength],
+        ]
+    )
+    embossed = _conv3x3_per_channel(img, effect)
+    return jnp.clip((1.0 - alpha) * img + alpha * embossed, 0.0, 255.0)
+
+
+def aug_hflip(key, img, prob=0.5):
+    flip = jax.random.bernoulli(key, prob)
+    return jnp.where(flip, img[:, ::-1, :], img)
+
+
+def aug_rotate(key, img, degree_range=(-10.0, 10.0)):
+    deg = jax.random.uniform(key, minval=degree_range[0],
+                             maxval=degree_range[1])
+    rad = deg * jnp.pi / 180.0
+    h, w = img.shape[0], img.shape[1]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # Forward map rotating about the image centre.
+    m = jnp.array(
+        [
+            [cos, -sin, cx - cos * cx + sin * cy],
+            [sin, cos, cy - sin * cx - cos * cy],
+        ]
+    )
+    return warp_affine(img, m, (h, w))
+
+
+def aug_random_crop(key, img, size, padding=2):
+    padded = jnp.pad(
+        img, ((padding, padding), (padding, padding), (0, 0))
+    )
+    max_y = padded.shape[0] - size
+    max_x = padded.shape[1] - size
+    k1, k2 = jax.random.split(key)
+    y0 = jax.random.randint(k1, (), 0, max_y + 1)
+    x0 = jax.random.randint(k2, (), 0, max_x + 1)
+    return jax.lax.dynamic_slice(padded, (y0, x0, 0),
+                                 (size, size, img.shape[2]))
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+_RANK1_OPS = (
+    aug_grayscale,
+    aug_hue_saturation,
+    aug_add,
+    aug_multiply,
+    aug_gaussian_blur,
+    aug_contrast,
+    aug_sharpen,
+    aug_emboss,
+)
+
+
+def rank1_vn_celeb_aug(key, img):
+    """One image of the rank-1 VN-celeb pipeline; returns a prewhitened
+    float image (matches transforms_rank1_VNceleb_aug semantics)."""
+    k_flip, k_some, k_choice, k_op = jax.random.split(key, 4)
+    img = aug_hflip(k_flip, img)
+    apply_one = jax.random.bernoulli(k_some, 0.8)
+    op_idx = jax.random.randint(k_choice, (), 0, len(_RANK1_OPS))
+    augmented = jax.lax.switch(
+        op_idx, [partial(op, k_op) for op in _RANK1_OPS], img
+    )
+    img = jnp.where(apply_one, augmented, img)
+    return prewhiten(img)
+
+
+def facenet_aug(key, img, out_size=160):
+    """One image of the facenet pipeline; returns standardised float."""
+    k_rot, k_crop, k_flip = jax.random.split(key, 3)
+    img = aug_rotate(k_rot, img)
+    img = aug_random_crop(k_crop, img, out_size, padding=2)
+    img = aug_hflip(k_flip, img)
+    return fixed_image_standardization(img)
+
+
+def batch_apply(aug_fn, key, images, **kwargs):
+    """vmap an augmenter over a batch with per-image keys."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda k, x: aug_fn(k, x, **kwargs))(keys, images)

@@ -1,0 +1,205 @@
+"""Image resampling / warping kernels, shape-static and jittable.
+
+TPU-native replacements for the reference's resampling stack:
+
+* ``area_resize``      <- torch ``F.interpolate(mode="area")``
+  (/root/reference/models/mtcnn_utils/detect_face.py:304-306). Implemented
+  as two dense weight-matrix contractions (one per spatial axis) whose
+  weights are the exact pixel-overlap fractions of adaptive average
+  pooling — this turns a gather-heavy op into two MXU matmuls and is
+  bit-faithful to the "area" semantics for any output size.
+* ``crop_resize_bilinear`` <- the per-box Python crop loops + area
+  resample of MTCNN stages 2/3 (detect_face.py:107-146), batched over a
+  fixed face capacity with bilinear gathers.
+* ``warp_affine``       <- ``cv2.warpAffine``
+  (/root/reference/align_face.py:51-57): inverse-mapped bilinear sampling
+  with zero border, batched over faces.
+* normalisation helpers <- fixed_image_standardization (models/
+  mtcnn.py:516-518) and prewhiten (data_loader/__init__.py:37-42).
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Exact "area" (adaptive average pool) resize via weight matrices
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=256)
+def _area_weights(in_size: int, out_size: int):
+    """[out_size, in_size] row-stochastic pooling matrix (NumPy, cached).
+
+    torch's adaptive_avg_pool2d (what interpolate(mode="area") lowers
+    to) averages the FULL pixels in [floor(o*in/out), ceil((o+1)*in/out))
+    with equal weight — integer cell boundaries, no fractional overlap.
+    """
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    for o in range(out_size):
+        p0 = (o * in_size) // out_size
+        p1 = -((-(o + 1) * in_size) // out_size)  # ceil
+        p1 = min(max(p1, p0 + 1), in_size)
+        w[o, p0:p1] = 1.0 / (p1 - p0)
+    return w
+
+
+def area_resize(images, out_hw):
+    """Adaptive-average-pool resize for NHWC (or HWC) images.
+
+    Matches ``torch.nn.functional.interpolate(mode="area")`` /
+    ``adaptive_avg_pool2d`` numerics for any (up/down) size.
+    """
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[None]
+    n, h, w, c = images.shape
+    oh, ow = out_hw
+    wh = jnp.asarray(_area_weights(h, oh))
+    ww = jnp.asarray(_area_weights(w, ow))
+    out = jnp.einsum("oh,nhwc->nowc", wh, images)
+    out = jnp.einsum("pw,nowc->nopc", ww, out)
+    return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Bilinear gather helpers
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_gather(img, yy, xx, y_min, y_max, x_min, x_max):
+    """Sample img [H, W, C] at float coords yy/xx [..., ], clamped to the
+    given inclusive float bounds; returns [..., C]."""
+    yy = jnp.clip(yy, y_min, y_max)
+    xx = jnp.clip(xx, x_min, x_max)
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = (yy - y0)[..., None]
+    wx = (xx - x0)[..., None]
+    h, w = img.shape[0], img.shape[1]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def crop_resize_bilinear(img, box, size):
+    """Crop a (1-based, inclusive, integer-valued float) xyxy box from
+    img [H, W, C] and resize to [size, size, C].
+
+    The crop window matches the reference's
+    ``imgs[..., (y-1):ey, (x-1):ex]`` integer slice; the resample uses
+    bilinear sampling at area-pool cell centres (the reference used
+    exact area pooling — downstream R/O-net scores are insensitive to
+    the difference, which parity tests bound).
+    """
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    ch = y2 - y1 + 1.0
+    cw = x2 - x1 + 1.0
+    sy = ch / size
+    sx = cw / size
+    i = jnp.arange(size, dtype=jnp.float32)
+    src_y = (y1 - 1.0) + (i + 0.5) * sy - 0.5
+    src_x = (x1 - 1.0) + (i + 0.5) * sx - 0.5
+    yy = jnp.broadcast_to(src_y[:, None], (size, size))
+    xx = jnp.broadcast_to(src_x[None, :], (size, size))
+    return _bilinear_gather(img, yy, xx, y1 - 1.0, y2 - 1.0, x1 - 1.0,
+                            x2 - 1.0)
+
+
+def batched_crop_resize(images, boxes, image_idx, size):
+    """Crop/resize a fixed-capacity padded face set.
+
+    images: [B, H, W, C]; boxes: [K, 4]; image_idx: [K] int32 row into
+    images. Returns [K, size, size, C].
+    """
+    def one(box, idx):
+        return crop_resize_bilinear(images[idx], box, size)
+
+    return jax.vmap(one)(boxes, image_idx)
+
+
+# ---------------------------------------------------------------------------
+# Affine warp (face alignment)
+# ---------------------------------------------------------------------------
+
+
+def invert_affine(m):
+    """Invert a [2, 3] affine matrix (returns [2, 3])."""
+    a, b, tx = m[0, 0], m[0, 1], m[0, 2]
+    c, d, ty = m[1, 0], m[1, 1], m[1, 2]
+    det = a * d - b * c
+    inv_a = d / det
+    inv_b = -b / det
+    inv_c = -c / det
+    inv_d = a / det
+    inv_tx = -(inv_a * tx + inv_b * ty)
+    inv_ty = -(inv_c * tx + inv_d * ty)
+    return jnp.array([[inv_a, inv_b, inv_tx], [inv_c, inv_d, inv_ty]])
+
+
+def warp_affine(img, m, out_hw, border_value=0.0):
+    """Apply a forward affine map (src->dst, cv2 convention) to
+    img [H, W, C] producing [out_h, out_w, C] with bilinear sampling and
+    a constant border (cv2.warpAffine default semantics,
+    align_face.py:55)."""
+    out_h, out_w = out_hw
+    inv = invert_affine(m)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xx, yy = jnp.meshgrid(xs, ys)
+    src_x = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
+    src_y = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
+    h, w = img.shape[0], img.shape[1]
+    inside = (
+        (src_x >= 0.0) & (src_x <= w - 1.0) & (src_y >= 0.0)
+        & (src_y <= h - 1.0)
+    )
+    vals = _bilinear_gather(img, src_y, src_x, 0.0, h - 1.0, 0.0, w - 1.0)
+    return jnp.where(inside[..., None], vals, border_value)
+
+
+def batched_warp_affine(images, image_idx, mats, out_hw, border_value=0.0):
+    """Warp a padded face set: images [B,H,W,C], image_idx [K], mats
+    [K,2,3] -> [K, out_h, out_w, C]."""
+    def one(idx, m):
+        return warp_affine(images[idx], m, out_hw, border_value)
+
+    return jax.vmap(one)(image_idx, mats)
+
+
+# ---------------------------------------------------------------------------
+# Normalisation
+# ---------------------------------------------------------------------------
+
+
+def fixed_image_standardization(x):
+    """(x - 127.5) / 128 (reference models/mtcnn.py:516-518 and the
+    'default' transform fix_std, data_loader/__init__.py:27-28)."""
+    return (x - 127.5) / 128.0
+
+
+def prewhiten(x):
+    """Per-image mean/std whitening (data_loader/__init__.py:37-42)."""
+    mean = jnp.mean(x)
+    std = jnp.std(x)
+    std_adj = jnp.maximum(std, 1.0 / jnp.sqrt(float(x.size)))
+    return (x - mean) / std_adj
+
+
+def imagenet_normalize(x):
+    """float [0,1] -> ImageNet-normalised (trans_emotion_inf,
+    data_loader/__init__.py:74-81)."""
+    mean = jnp.array([0.485, 0.456, 0.406], x.dtype)
+    std = jnp.array([0.229, 0.224, 0.225], x.dtype)
+    return (x - mean) / std
