@@ -66,3 +66,35 @@ def test_invert_affine():
     a = np.vstack([np.asarray(m), [0, 0, 1]])
     b = np.vstack([np.asarray(inv), [0, 0, 1]])
     np.testing.assert_allclose(a @ b, np.eye(3), atol=1e-5)
+
+
+def test_crop_area_resize_matches_torch_adaptive_pool(rng):
+    """Integral-image crop resize vs torch integer-crop +
+    adaptive_avg_pool2d (the MTCNN stage-2/3 resample)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    imgs = rng.integers(0, 256, size=(2, 70, 90, 3)).astype(np.float32)
+    boxes = np.array(
+        [
+            [5.0, 9.0, 40.0, 50.0],
+            [1.0, 1.0, 90.0, 70.0],
+            [33.0, 12.0, 61.0, 44.0],
+        ],
+        dtype=np.float32,
+    )
+    image_idx = np.array([0, 1, 1], dtype=np.int32)
+    for size in (24, 48):
+        got = np.asarray(
+            I.batched_crop_area_resize(
+                jnp.asarray(imgs), jnp.asarray(boxes),
+                jnp.asarray(image_idx), size,
+            )
+        )
+        for k, (box, idx) in enumerate(zip(boxes, image_idx)):
+            x1, y1, x2, y2 = box.astype(int)
+            crop = imgs[idx, y1 - 1:y2, x1 - 1:x2]
+            t = torch.from_numpy(crop.transpose(2, 0, 1))[None]
+            want = torch.nn.functional.adaptive_avg_pool2d(t, size)
+            want = want[0].numpy().transpose(1, 2, 0)
+            np.testing.assert_allclose(got[k], want, rtol=1e-5, atol=1e-3)

@@ -37,7 +37,11 @@ import numpy as np
 import flax.linen as nn
 
 from ..ops import boxes as B
-from ..ops.image import area_resize, batched_crop_resize
+from ..ops.image import (
+    area_resize,
+    batched_crop_area_resize,
+    integral_image,
+)
 from .layers import PReLU, max_pool_ceil
 
 
@@ -344,11 +348,14 @@ class MTCNN:
 
             # ---- stage 2: batched 24x24 crops + RNet ----
             # crop coords are clamped ints (the reference's pad()), but
-            # the box math below keeps the unclamped floats
+            # the box math below keeps the unclamped floats; crops use
+            # exact adaptive-area pooling via one shared integral image
+            integral = integral_image(imgs)
             crop_boxes = B.clamp_boxes(boxes, w, h)
             img_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), k2)
             flat_boxes = crop_boxes.reshape(batch * k2, 4)
-            crops = batched_crop_resize(imgs, flat_boxes, img_idx, 24)
+            crops = batched_crop_area_resize(imgs, flat_boxes, img_idx, 24,
+                                             integral=integral)
             r_reg, r_prob = rnet.apply(variables["rnet"],
                                        _normalize(crops))
             r_score = r_prob[:, 1].reshape(batch, k2)
@@ -369,7 +376,8 @@ class MTCNN:
             crop_boxes = B.clamp_boxes(boxes, w, h)
             img_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), k3)
             flat_boxes = crop_boxes.reshape(batch * k3, 4)
-            crops = batched_crop_resize(imgs, flat_boxes, img_idx, 48)
+            crops = batched_crop_area_resize(imgs, flat_boxes, img_idx, 48,
+                                             integral=integral)
             o_reg, o_landm, o_prob = onet.apply(
                 variables["onet"], _normalize(crops)
             )

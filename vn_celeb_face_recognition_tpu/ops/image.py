@@ -118,13 +118,85 @@ def crop_resize_bilinear(img, box, size):
 
 
 def batched_crop_resize(images, boxes, image_idx, size):
-    """Crop/resize a fixed-capacity padded face set.
+    """Crop/resize a fixed-capacity padded face set (bilinear).
 
     images: [B, H, W, C]; boxes: [K, 4]; image_idx: [K] int32 row into
     images. Returns [K, size, size, C].
     """
     def one(box, idx):
         return crop_resize_bilinear(images[idx], box, size)
+
+    return jax.vmap(one)(boxes, image_idx)
+
+
+def integral_image(images):
+    """Zero-padded 2-D prefix sums: [B, H, W, C] -> [B, H+1, W+1, C].
+
+    Accumulates in int32: inputs are uint8-valued pixels, so the sums
+    are EXACT for images up to ~8.4M pixels — fp32 prefix sums would
+    lose several bits on 1080p frames and corrupt small-cell averages.
+    """
+    px = jnp.round(images).astype(jnp.int32)
+    s = jnp.cumsum(jnp.cumsum(px, axis=1), axis=2)
+    s = jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    return s
+
+
+def batched_crop_area_resize(images, boxes, image_idx, size,
+                             integral=None):
+    """EXACT adaptive-average-pool crop-resize over integer crop boxes.
+
+    Reproduces the reference MTCNN stage-2/3 resampling bit-for-bit:
+    integer crop ``imgs[..., y1-1:y2, x1-1:x2]`` followed by torch
+    adaptive_avg_pool2d to (size, size) (detect_face.py:109-112,304-306).
+    Each output cell averages input pixels [floor(o*ch/S),
+    ceil((o+1)*ch/S)) — evaluated with 4 integral-image gathers per
+    cell, so the whole padded face set is a handful of vectorised
+    gathers instead of per-box resize calls.
+
+    boxes are 1-based inclusive integer-valued floats (clamp_boxes
+    output). Pass a precomputed ``integral`` (from
+    :func:`integral_image`) to share it across stages.
+    """
+    if integral is None:
+        integral = integral_image(images)
+
+    o = jnp.arange(size, dtype=jnp.float32)
+
+    def one(box, idx):
+        ii = integral[idx]  # [H+1, W+1, C]
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        y0 = y1 - 1.0
+        x0 = x1 - 1.0
+        ch = y2 - y1 + 1.0
+        cw = x2 - x1 + 1.0
+        # adaptive pooling integer boundaries, relative to crop origin
+        ry0 = jnp.floor(o * ch / size)
+        ry1 = jnp.ceil((o + 1.0) * ch / size)
+        ry1 = jnp.minimum(jnp.maximum(ry1, ry0 + 1.0), ch)
+        rx0 = jnp.floor(o * cw / size)
+        rx1 = jnp.ceil((o + 1.0) * cw / size)
+        rx1 = jnp.minimum(jnp.maximum(rx1, rx0 + 1.0), cw)
+        iy0 = (y0 + ry0).astype(jnp.int32)
+        iy1 = (y0 + ry1).astype(jnp.int32)
+        ix0 = (x0 + rx0).astype(jnp.int32)
+        ix1 = (x0 + rx1).astype(jnp.int32)
+        h_max = ii.shape[0] - 1
+        w_max = ii.shape[1] - 1
+        iy0 = jnp.clip(iy0, 0, h_max)
+        iy1 = jnp.clip(iy1, 0, h_max)
+        ix0 = jnp.clip(ix0, 0, w_max)
+        ix1 = jnp.clip(ix1, 0, w_max)
+        # 4-corner inclusion-exclusion, broadcast to [S, S, C]
+        a = ii[iy1][:, ix1]
+        b = ii[iy0][:, ix1]
+        c = ii[iy1][:, ix0]
+        d = ii[iy0][:, ix0]
+        total = (a - b - c + d).astype(jnp.float32)
+        count = (
+            (ry1 - ry0)[:, None] * (rx1 - rx0)[None, :]
+        )[..., None]
+        return total / jnp.maximum(count, 1.0)
 
     return jax.vmap(one)(boxes, image_idx)
 
