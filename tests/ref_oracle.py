@@ -77,13 +77,68 @@ def install_torchvision_stub():
     functional.to_tensor = to_tensor
     transforms.functional = functional
 
+    models_mod = types.ModuleType("torchvision.models")
+    models_utils = types.ModuleType("torchvision.models.utils")
+
+    def load_state_dict_from_url(*args, **kwargs):
+        raise RuntimeError("no network in tests")
+
+    models_utils.load_state_dict_from_url = load_state_dict_from_url
+    models_mod.utils = models_utils
+
+    # torchvision.models._utils.IntermediateLayerGetter per its
+    # documented contract: run named children in order, collect the
+    # outputs of the requested layers under their new names.
+    models__utils = types.ModuleType("torchvision.models._utils")
+
+    class IntermediateLayerGetter(torch.nn.ModuleDict):
+        def __init__(self, model, return_layers):
+            orig = {str(k): str(v) for k, v in return_layers.items()}
+            layers = {}
+            remaining = dict(orig)
+            for name, module in model.named_children():
+                layers[name] = module
+                if name in remaining:
+                    del remaining[name]
+                if not remaining:
+                    break
+            super().__init__(layers)
+            self.return_layers = orig
+
+        def forward(self, x):
+            from collections import OrderedDict
+
+            out = OrderedDict()
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    models__utils.IntermediateLayerGetter = IntermediateLayerGetter
+    models_mod._utils = models__utils
+
+    detection_mod = types.ModuleType("torchvision.models.detection")
+    backbone_utils = types.ModuleType(
+        "torchvision.models.detection.backbone_utils"
+    )
+    detection_mod.backbone_utils = backbone_utils
+    models_mod.detection = detection_mod
+
     tv.ops = ops
     tv.transforms = transforms
+    tv.models = models_mod
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
     sys.modules["torchvision.ops.boxes"] = boxes_mod
     sys.modules["torchvision.transforms"] = transforms
     sys.modules["torchvision.transforms.functional"] = functional
+    sys.modules["torchvision.models"] = models_mod
+    sys.modules["torchvision.models.utils"] = models_utils
+    sys.modules["torchvision.models._utils"] = models__utils
+    sys.modules["torchvision.models.detection"] = detection_mod
+    sys.modules["torchvision.models.detection.backbone_utils"] = \
+        backbone_utils
 
 
 def load_ref_module(name):

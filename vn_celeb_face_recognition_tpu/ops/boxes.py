@@ -104,7 +104,9 @@ def batched_nms_keep_mask(boxes, scores, valid, iou_thr, offset=0.0,
 
 
 def top_k_select(values, mask, k):
-    """Top-k by value among masked rows. Returns (indices [k], valid [k])."""
+    """Top-k by value among masked rows. Returns (indices [k], valid [k]).
+    k is clamped to the row count (capacities may exceed small inputs)."""
+    k = min(int(k), values.shape[-1])
     neg_inf = jnp.asarray(-jnp.inf, values.dtype)
     masked = jnp.where(mask, values, neg_inf)
     top_vals, top_idx = jax.lax.top_k(masked, k)
