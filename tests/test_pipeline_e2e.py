@@ -1,0 +1,166 @@
+"""Pipeline integration tests: the demo_image path (detect -> align ->
+embed -> classify -> draw) and the demo_video streaming loop with
+tracker.csv output, on real face pixels from the reference's shipped
+toy images. Models are small/random where weights aren't shipped; the
+subject is the plumbing, formats and masks, not recognition quality.
+"""
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def face_image():
+    from PIL import Image
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    return np.asarray(
+        Image.open(files[0]).convert("RGB").resize((160, 160)),
+        dtype=np.uint8,
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipe")
+    label2name = root / "label2name.csv"
+    with open(label2name, "w") as f:
+        f.write("label,name\n")
+        for i in range(16):
+            f.write(f"{i},Person_{i}\n")
+    enc_cfg = root / "enc.json"
+    enc_cfg.write_text(json.dumps({"pretrained": None}))
+    det_cfg = root / "det.json"
+    det_cfg.write_text(
+        json.dumps({"image_size": 160, "keep_all": True,
+                    "min_face_size": 40})
+    )
+    return {
+        "root": root,
+        "label2name": str(label2name),
+        "enc_cfg": str(enc_cfg),
+        "det_cfg": str(det_cfg),
+    }
+
+
+def make_args(pipeline_files, **overrides):
+    import demo_image
+
+    parser = demo_image.build_arg_parser()
+    args = parser.parse_args([])
+    args.label2name = pipeline_files["label2name"]
+    args.encoder_args = pipeline_files["enc_cfg"]
+    args.detection_args = pipeline_files["det_cfg"]
+    args.encoder = "InceptionResnetV1"
+    args.detection = "MTCNN"
+    args.num_classes = 16
+    args.classify_model = ""
+    args.inference_method = "par_fd_vs_aln"
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_demo_image_end_to_end(face_image, pipeline_files, tmp_path):
+    import cv2
+
+    import demo_image
+
+    img_path = str(tmp_path / "input.png")
+    out_path = str(tmp_path / "out.png")
+    cv2.imwrite(img_path, cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR))
+
+    args = make_args(
+        pipeline_files, image_path=img_path, output_path=out_path,
+        recog_threshold=0.0,
+    )
+    names, boxes = demo_image.main(args)
+    assert os.path.exists(out_path)
+    assert len(names) == len(boxes) == 1
+    assert names[0].startswith("Person_") or names[0] == "Unknown"
+
+
+def test_demo_image_threshold_unknown(face_image, pipeline_files,
+                                      tmp_path):
+    """With an impossible threshold every face must be 'Unknown'
+    (identify_person per-class threshold path)."""
+    import cv2
+
+    import demo_image
+
+    img_path = str(tmp_path / "input.png")
+    out_path = str(tmp_path / "out.png")
+    cv2.imwrite(img_path, cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR))
+    args = make_args(
+        pipeline_files, image_path=img_path, output_path=out_path,
+        recog_threshold=1.1,
+    )
+    names, _ = demo_image.main(args)
+    assert names == ["Unknown"]
+
+
+@pytest.mark.slow
+def test_demo_video_tracker_csv(face_image, pipeline_files, tmp_path):
+    import cv2
+    import pandas as pd
+
+    import demo_image
+    import demo_video
+
+    # synthesize an 8-frame video of the face drifting on a background
+    video_path = str(tmp_path / "clip.avi")
+    h, w = 240, 320
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 8.0, (w, h)
+    )
+    assert writer.isOpened()
+    bgr_face = cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR)
+    for t in range(8):
+        frame = np.full((h, w, 3), 60, dtype=np.uint8)
+        x0 = 20 + 4 * t
+        frame[40:200, x0:x0 + 160] = cv2.resize(bgr_face, (160, 160))
+        writer.write(frame)
+    writer.release()
+
+    args = make_args(
+        pipeline_files,
+        video_path=video_path,
+        output_tracker=str(tmp_path / "tracker.csv"),
+        output_frame=str(tmp_path / "frames"),
+        n_frames=4,
+        log_step=100,
+        recog_threshold=0.0,
+    )
+    models = demo_image.setup_models(args)
+    from vn_celeb_face_recognition_tpu.pipeline import center_point_dict
+
+    target_fs = (args.target_face_size, args.target_face_size)
+    center_point = center_point_dict[str(target_fs)]
+    processed, wall = demo_video.process_video(
+        args, models, target_fs, center_point, args.recog_threshold
+    )
+    assert processed == 8
+
+    df = pd.read_csv(args.output_tracker)
+    assert list(df.columns) == ["Time", "Names", "Frame_idx", "Bboxes"]
+    assert len(df) == 8
+    # at least half the frames should carry a detection with a
+    # normalised bbox inside [0, 1]
+    import ast
+
+    n_with_faces = 0
+    for _, row in df.iterrows():
+        bbs = ast.literal_eval(row["Bboxes"])
+        names = ast.literal_eval(row["Names"])
+        assert len(bbs) == len(names)
+        for bb in bbs:
+            assert all(-0.1 <= v <= 1.1 for v in bb)
+        n_with_faces += bool(bbs)
+    assert n_with_faces >= 4
