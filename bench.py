@@ -1,0 +1,122 @@
+"""Headline benchmark: detect + align + embed + classify faces/sec/chip.
+
+Runs the fused recognition engine (MTCNN with the published cascade
+weights -> Umeyama/warp alignment -> InceptionResnetV1 512-d embedding
+-> MLP classifier over 1001 classes) on synthetic 640x640 frame chunks
+carrying real face crops (the reference repo's shipped toy faces), and
+reports end-to-end VALID faces recognised per second on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "faces/sec/chip", "vs_baseline": N}
+Baseline: 5000 faces/sec/chip (BASELINE.md driver target).
+"""
+
+import glob
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_frames(batch, size, faces_per_frame, face_px=144):
+    """Frames with real face crops pasted on a flat background."""
+    from PIL import Image
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:  # fall back to noise (detector finds nothing; still
+        # measures the full pipeline cost)
+        gen = np.random.default_rng(0)
+        return gen.integers(0, 255, size=(batch, size, size, 3),
+                            dtype=np.uint8)
+    crops = [
+        np.asarray(
+            Image.open(f).convert("RGB").resize((face_px, face_px)),
+            dtype=np.uint8,
+        )
+        for f in files[:faces_per_frame * batch]
+    ]
+    frames = np.full((batch, size, size, 3), 90, dtype=np.uint8)
+    grid = int(np.ceil(np.sqrt(faces_per_frame)))
+    cell = size // grid
+    pad = max((cell - face_px) // 2, 0)
+    idx = 0
+    for b in range(batch):
+        for f in range(faces_per_frame):
+            r, c = divmod(f, grid)
+            y0 = r * cell + pad
+            x0 = c * cell + pad
+            frames[b, y0:y0 + face_px, x0:x0 + face_px] = crops[
+                idx % len(crops)
+            ]
+            idx += 1
+    return frames
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vn_celeb_face_recognition_tpu.models import (
+        InceptionResnetV1,
+        MLPModel,
+        MTCNN,
+    )
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    batch = int(float(next((a.split("=")[1] for a in sys.argv
+                            if a.startswith("--batch=")), 32)))
+    size = 640
+    faces_per_frame = 4
+    iters = int(float(next((a.split("=")[1] for a in sys.argv
+                            if a.startswith("--iters=")), 10)))
+
+    detector = MTCNN(min_face_size=50, keep_all=True,
+                     pnet_cap_per_scale=256, rnet_cap=128, onet_cap=64,
+                     out_cap=16)
+    encoder = InceptionResnetV1()
+    key = jax.random.PRNGKey(0)
+    enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))
+    classifier = MLPModel(input_dim=512, num_classes=1001)
+    clf_vars = classifier.init(key, jnp.zeros((1, 512)))
+
+    engine = FusedRecognitionEngine(
+        detector, encoder, enc_vars, classifier, clf_vars,
+        target_fs=112, compute_dtype=jnp.bfloat16,
+    )
+
+    frames = build_frames(batch, size, faces_per_frame)
+
+    # warmup / compile; the fetch forces real remote execution
+    out = engine.process(frames)
+    valid_per_chunk = int(np.asarray(jax.device_get(out["valid"])).sum())
+
+    # NOTE on timing: on the axon relay backend block_until_ready does
+    # NOT track remote completion — executions run in order on the
+    # single chip, so fetching a scalar from the LAST output drains the
+    # whole queue and bounds the true end-to-end time.
+    t0 = time.time()
+    for _ in range(iters):
+        out = engine.process(frames)
+    float(np.asarray(jax.device_get(out["scores"]))[0, 0])
+    dt = time.time() - t0
+
+    total_faces = valid_per_chunk * iters
+    faces_per_sec = total_faces / dt
+    frames_per_sec = batch * iters / dt
+    result = {
+        "metric": "detect+embed+classify throughput "
+                  f"(640x640 frames, {faces_per_frame} faces/frame, "
+                  f"batch {batch}, {valid_per_chunk} valid faces/chunk; "
+                  f"video {frames_per_sec:.1f} frames/sec)",
+        "value": round(faces_per_sec, 2),
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(faces_per_sec / 5000.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,24 @@ from vn_celeb_face_recognition_tpu.data.transforms import transforms_dict
 from vn_celeb_face_recognition_tpu.pipeline import Encoder
 
 
+def iter_image_batches_native(data_dir, list_files, batch_size, size,
+                              prefetch=4):
+    """Native C++ thread-pool decoder path (images resized to a fixed
+    square ``size``; aligned datasets are already square)."""
+    from vn_celeb_face_recognition_tpu import native
+
+    paths = [str(Path(data_dir) / f) for f in list_files]
+    loader = native.NativeBatchLoader(
+        paths, batch_size=batch_size, width=size, height=size,
+        threads=os.cpu_count() or 4, prefetch=prefetch,
+    )
+    offset = 0
+    for data, ok, count in loader:
+        names = list_files[offset: offset + count]
+        offset += count
+        yield data, names
+
+
 def iter_image_batches(data_dir, list_files, batch_size, prefetch=4):
     """Decode images on a background thread into fixed-size batches."""
     from PIL import Image
@@ -65,15 +83,28 @@ def save_embeddings(embeddings, list_files, output_dir):
         np.savez_compressed(str(output_dir_path / emb_name), embeddings[i])
 
 
-def cal_embedding(data_dir, batch_size, model, output_dir, log=True):
+def cal_embedding(data_dir, batch_size, model, output_dir, log=True,
+                  native_size=None):
     if not os.path.exists(output_dir):
         os.makedirs(output_dir)
     list_files = sorted(os.listdir(data_dir))
     n_batches = -(-len(list_files) // batch_size)
     done = 0
-    for idx, (batch, names) in enumerate(
-        iter_image_batches(data_dir, list_files, batch_size)
-    ):
+    use_native = False
+    if native_size:
+        try:
+            from vn_celeb_face_recognition_tpu import native
+
+            use_native = native.available()
+        except Exception:
+            use_native = False
+    batches = (
+        iter_image_batches_native(data_dir, list_files, batch_size,
+                                  native_size)
+        if use_native
+        else iter_image_batches(data_dir, list_files, batch_size)
+    )
+    for idx, (batch, names) in enumerate(batches):
         embeddings = model(batch.astype(np.float32))
         save_embeddings(embeddings[: len(names)], names, output_dir)
         done += len(names)
@@ -94,12 +125,19 @@ if __name__ == "__main__":
     parser.add_argument("-w", "--pre_trained", default="vggface2")
     parser.add_argument("-dv", "--device", default="TPU")
     parser.add_argument("-enc", "--encoder", default="InceptionResnetV1")
+    parser.add_argument("--image_size", default=None, type=int,
+                        help="fixed decode size enabling the native "
+                             "C++ loader (e.g. 160)")
     args = parser.parse_args()
 
+    from vn_celeb_face_recognition_tpu.utils import select_platform
+
+    select_platform(args.device)
     if args.encoder == "InceptionResnetV1":
         model = Encoder.build("InceptionResnetV1",
                               pretrained=args.pre_trained)
     else:
         model = Encoder.build(args.encoder, pretrained=True)
     model.transform = transforms_dict["default"]
-    cal_embedding(args.data_dir, args.batch_size, model, args.output_dir)
+    cal_embedding(args.data_dir, args.batch_size, model, args.output_dir,
+                  native_size=args.image_size)

@@ -239,6 +239,7 @@ class MTCNN:
         device=None,
         weights_dir=None,
         pnet_cap_per_scale=448,
+        cross_cap=512,
         rnet_cap=256,
         onet_cap=128,
         out_cap=64,
@@ -256,6 +257,7 @@ class MTCNN:
             "largest" if select_largest else "probability"
         )
         self.pnet_cap_per_scale = pnet_cap_per_scale
+        self.cross_cap = cross_cap
         self.rnet_cap = rnet_cap
         self.onet_cap = onet_cap
         self.out_cap = out_cap
@@ -295,6 +297,7 @@ class MTCNN:
         scales = self._scales(h, w)
         thr = self.thresholds
         k1 = self.pnet_cap_per_scale
+        kx = self.cross_cap
         k2 = self.rnet_cap
         k3 = self.onet_cap
         kout = self.out_cap
@@ -332,6 +335,17 @@ class MTCNN:
             score = jnp.concatenate(all_scores, axis=1)
             reg = jnp.concatenate(all_regs, axis=1)
             valid = jnp.concatenate(all_valid, axis=1)
+
+            # cap total candidates before the cross-scale NMS: only a
+            # handful survive the per-scale NMS, so the top-kx by score
+            # are lossless while the [K,K] IoU work drops ~(S*k1/kx)^2
+            def cap_cross(bx, sc, rg, vl):
+                idx, still = B.top_k_select(sc, vl, kx)
+                return bx[idx], sc[idx], rg[idx], still
+
+            boxes, score, reg, valid = jax.vmap(cap_cross)(
+                boxes, score, reg, valid
+            )
 
             # ---- cross-scale NMS(0.7) + cap to rnet capacity ----
             keep = B.batched_nms_keep_mask(boxes, score, valid, 0.7)

@@ -67,7 +67,19 @@ def jaccard(boxes_a, boxes_b):
 
 
 def nms_keep_mask(boxes, scores, valid, iou_thr, offset=0.0, min_mode=False):
-    """Greedy NMS over a padded box set.
+    """Greedy NMS over a padded box set — EXACT, via Jacobi fixpoint.
+
+    Greedy NMS is the unique solution of
+        keep_i = valid_i  AND  not EXISTS j>i_priority:
+                 (iou(j, i) > thr AND keep_j)
+    (priority = descending score, ties by original row order). Instead
+    of the reference's O(K) *sequential* scan (detect_face.py:235-254 —
+    a K-step data-dependent chain that serializes terribly on a
+    systolic-array machine), iterate keep <- valid & ~(S^T keep) from
+    keep = valid until fixpoint. Each sweep is one [K,K] x [K]
+    matrix-vector product on the MXU; convergence takes the suppression
+    -chain DEPTH (typically < 8) rather than K steps, and the while
+    loop exits exactly at the greedy solution.
 
     Args:
       boxes:  [K, 4] xyxy (padding rows arbitrary).
@@ -81,18 +93,30 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, offset=0.0, min_mode=False):
     """
     k = boxes.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]
-    b = boxes[order]
-    v = valid[order]
-    iou = pairwise_iou(b, b, offset=offset, min_mode=min_mode)
-    earlier = jnp.tril(jnp.ones((k, k), bool), k=-1)  # j strictly before i
+    s = jnp.where(valid, scores, neg_inf)
+    iou = pairwise_iou(boxes, boxes, offset=offset, min_mode=min_mode)
+    idx = jnp.arange(k)
+    higher = (s[:, None] > s[None, :]) | (
+        (s[:, None] == s[None, :]) & (idx[:, None] < idx[None, :])
+    )
+    # suppressor matrix: S[j, i] = 1 iff j can suppress i
+    sup = (higher & (iou > iou_thr) & valid[:, None]).astype(jnp.float32)
 
-    def body(i, keep):
-        suppressed = jnp.any(keep & (iou[:, i] > iou_thr) & earlier[i])
-        return keep.at[i].set(v[i] & ~suppressed)
+    def cond(state):
+        keep, changed, it = state
+        return changed & (it < k)
 
-    keep_sorted = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
-    return jnp.zeros((k,), bool).at[order].set(keep_sorted)
+    def body(state):
+        keep, _, it = state
+        suppressed = (sup.T @ keep.astype(jnp.float32)) > 0.0
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.any(new_keep != keep), it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.asarray(True), jnp.asarray(0))
+    )
+    return keep
 
 
 def batched_nms_keep_mask(boxes, scores, valid, iou_thr, offset=0.0,

@@ -1,0 +1,128 @@
+"""Gather-free similarity warp for TPU (the alignment hot op).
+
+Bilinear ``warp_affine`` (ops/image.py) is exact but gather-bound: 4
+scalar gathers per output pixel serialize on TPU (measured ~180ms for
+128 faces — 1000x the encoder cost). A *similarity* transform (all the
+alignment solve ever produces) factors into TPU-friendly pieces, every
+one of them contiguous-slice or matmul work:
+
+    sample(p) = img( s. R(phi) p + t )
+             = rot_img( s. p + u ),   rot_img(q) = img(R(phi)(q-c)+c)
+
+  * quadrant: phi is reduced to [-45, 45] degrees by a k*90-degree
+    pre-rotation (transpose/flip, free);
+  * residual rotation by Paeth's 3-shear decomposition
+    X(a) Y(b) X(a) with a = -tan(phi/2), b = sin(phi): each shear pass
+    resamples along ONE axis with a per-row (or per-column) CONSTANT
+    shift -> one contiguous dynamic_slice + lerp per row;
+  * the remaining axis-aligned scale+translate is two per-face hat-
+    kernel interpolation matrices applied as batched matmuls (MXU).
+
+Cost for 128 faces: ~0.3ms vs ~180ms for the gather formulation. The
+result is a 4-pass bilinear chain, so it is slightly softer than the
+single-pass exact warp; use ``ops.image.warp_affine`` where bit-level
+cv2 parity matters (tests bound the difference and the downstream
+embedding cosine).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .image import invert_affine
+
+
+def _xshear(img, shifts, pad):
+    """out[y, x] = img(y, x + shifts[y]) with bilinear interp and zero
+    border; img [H, N, C], shifts [H]. One contiguous dynamic_slice per
+    row — no gathers."""
+    h, n, c = img.shape
+    padded = jnp.pad(img, ((0, 0), (pad, pad + 1), (0, 0)))
+    k = jnp.floor(shifts)
+    f = (shifts - k)[:, None, None]
+    k = jnp.clip(k.astype(jnp.int32), -pad, pad)
+
+    def row(r, kk):
+        return jax.lax.dynamic_slice(r, (kk + pad, 0), (n + 1, c))
+
+    rows = jax.vmap(row)(padded, k)  # rows[y, x] = img[y, x + k[y]]
+    return rows[:, :n] * (1.0 - f) + rows[:, 1:] * f
+
+
+def _rot_quadrant(img, k):
+    """Sampling-space k*90-degree rotation of a square [N, N, C] image:
+    returns img_k with img_k(q) = img(R(k*pi/2)(q - c) + c)."""
+    return jax.lax.switch(
+        k,
+        [
+            lambda x: x,
+            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),
+            lambda x: jnp.flip(x, axis=(0, 1)),
+            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),
+        ],
+        img,
+    )
+
+
+def _hat_matrix(positions, in_size):
+    """[out, in] bilinear interpolation matrix: row o holds the hat
+    kernel centred at positions[o]; zero outside -> zero border."""
+    i = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(positions[:, None] - i))
+    return w
+
+
+def similarity_warp(window, m, out_size, pad=None):
+    """Warp a square window [N, N, C] by the forward similarity ``m``
+    ([2,3], src->dst as produced by the Umeyama solve), producing
+    [out_size, out_size, C], zero border — gather-free.
+    """
+    n = window.shape[0]
+    c = (n - 1) / 2.0
+    if pad is None:
+        # worst-case |shift| over the shear passes at |phi|<=45deg
+        # (beta pass: sin(45deg) * n/2)
+        pad = int(0.36 * n) + 2
+
+    a_mat = invert_affine(m)  # sample coords = A p + t
+    s = jnp.sqrt(a_mat[0, 0] ** 2 + a_mat[1, 0] ** 2)
+    phi = jnp.arctan2(a_mat[1, 0], a_mat[0, 0])
+    t = a_mat[:, 2]
+
+    # quadrant reduction
+    k = jnp.round(phi / (jnp.pi / 2)).astype(jnp.int32) % 4
+    phi_r = phi - jnp.round(phi / (jnp.pi / 2)) * (jnp.pi / 2)
+    img_k = _rot_quadrant(window, k)
+
+    # Paeth 3-shear rotation about the centre (sampling maps compose:
+    # X(alpha) Y(beta) X(alpha) == R(phi_r))
+    alpha = -jnp.tan(phi_r / 2.0)
+    beta = jnp.sin(phi_r)
+    ys = jnp.arange(n, dtype=jnp.float32) - c
+    xs = jnp.arange(n, dtype=jnp.float32) - c
+
+    buf = _xshear(img_k, alpha * ys, pad)
+    # y-shear == x-shear on the transposed buffer
+    buf = jnp.swapaxes(
+        _xshear(jnp.swapaxes(buf, 0, 1), beta * xs, pad), 0, 1
+    )
+    rot = _xshear(buf, alpha * ys, pad)  # [n, n, C]
+
+    # axis-aligned scale + translate: q = s*p + u
+    # u = c + R(-phi)(t - c_vec); with R(-phi) applied to (t - c)
+    cosr, sinr = jnp.cos(phi), jnp.sin(phi)
+    dx, dy = t[0] - c, t[1] - c
+    ux = c + cosr * dx + sinr * dy
+    uy = c - sinr * dx + cosr * dy
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    ry = _hat_matrix(s * o + uy, n)  # rows
+    rx = _hat_matrix(s * o + ux, n)  # cols
+    tmp = jnp.einsum("oh,hwc->owc", ry, rot)
+    return jnp.einsum("pw,owc->opc", rx, tmp)
+
+
+def batched_similarity_warp(windows, mats, out_size):
+    """vmapped :func:`similarity_warp` over a padded face set:
+    windows [K, N, N, C], mats [K, 2, 3] -> [K, out, out, C]."""
+    return jax.vmap(
+        lambda wdw, m: similarity_warp(wdw, m, out_size)
+    )(windows, mats)

@@ -1,0 +1,173 @@
+"""Fused frame-batch recognition engine: ONE jitted device program for
+detect -> align -> embed -> classify over a frame chunk.
+
+This is the TPU-first replacement for the reference's video hot loop
+(demo_video.py:86-192), which made a separate host round trip per
+stage and per face. Here a [B, H, W, 3] uint8 frame chunk flows
+through:
+
+  1. the MTCNN cascade (capacity-bounded, models/mtcnn.py) producing
+     padded boxes/landmarks/validity;
+  2. batched Umeyama solves + bilinear warp gathers aligning every
+     face slot to the canonical 5-point template (ops/similarity,
+     ops/image);
+  3. fixed standardisation + the embedding encoder (bf16-capable
+     MXU convs);
+  4. the MLP classifier -> log-probs, argmax, probability.
+
+Padded face slots ride along masked; the host only converts names.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import fixed_image_standardization
+from ..ops.similarity import umeyama_similarity
+from ..ops.warp_fast import batched_similarity_warp
+from .align import center_point_dict
+
+
+class FusedRecognitionEngine:
+    """detect+align+embed+classify for fixed-shape frame chunks.
+
+    Args:
+      detector: models.MTCNN instance (its cascade fuses into the
+        program).
+      encoder: (module, variables) embedding net.
+      classifier: (module, variables) MLP head.
+      target_fs: aligned face size (reference -tg_fs, default 112).
+      compute_dtype: jnp.bfloat16 to run encoder matmuls on the MXU in
+        bf16 (params stay f32), or jnp.float32.
+    """
+
+    def __init__(self, detector, encoder, encoder_variables, classifier,
+                 classifier_variables, target_fs=112,
+                 compute_dtype=jnp.float32, face_window=224):
+        self.detector = detector
+        self.encoder = encoder
+        self.encoder_variables = encoder_variables
+        self.classifier = classifier
+        self.classifier_variables = classifier_variables
+        self.target_fs = int(target_fs)
+        self.template = jnp.asarray(
+            center_point_dict[str((self.target_fs, self.target_fs))]
+        )
+        self.compute_dtype = compute_dtype
+        # faces are warped out of a fixed per-face window cut with one
+        # contiguous dynamic_slice — bilinear gathers then read a small
+        # local buffer instead of striding the whole frame
+        self.face_window = int(face_window)
+        self._jit_cache = {}
+        # keep detector weights resident on device (numpy inputs would
+        # re-upload per call)
+        self.detector.variables = jax.device_put(self.detector.variables)
+
+    def _build(self, batch, h, w):
+        # the cascade's jitted fn inlines when traced under this jit,
+        # so the whole engine compiles to one device program
+        raw_detect = self.detector._build_detect_fn(batch, h, w)
+        fs = self.target_fs
+        template = self.template
+        encoder = self.encoder
+        classifier = self.classifier
+        kout = self.detector.out_cap
+        cdtype = self.compute_dtype
+
+        win = self.face_window
+        win = min(win, h, w)
+
+        def run(det_vars, enc_vars, clf_vars, frames_u8):
+            boxes, score, points, valid = raw_detect(det_vars, frames_u8)
+            b, k = boxes.shape[0], boxes.shape[1]
+            flat_pts = points.reshape(b * k, 5, 2)
+            flat_boxes = boxes.reshape(b * k, 4)
+            image_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+            frames = frames_u8.astype(jnp.float32)
+
+            # cut a fixed window around each face (contiguous slice),
+            # shift landmarks into window coords, solve + warp locally
+            cx = (flat_boxes[:, 0] + flat_boxes[:, 2]) * 0.5
+            cy = (flat_boxes[:, 1] + flat_boxes[:, 3]) * 0.5
+            ox = jnp.clip(jnp.round(cx - win / 2), 0, w - win)
+            oy = jnp.clip(jnp.round(cy - win / 2), 0, h - win)
+
+            def cut(idx, oyi, oxi):
+                return jax.lax.dynamic_slice(
+                    frames,
+                    (idx, oyi.astype(jnp.int32), oxi.astype(jnp.int32),
+                     0),
+                    (1, win, win, 3),
+                )[0]
+
+            windows = jax.vmap(cut)(image_idx, oy, ox)
+            local_pts = flat_pts - jnp.stack([ox, oy], axis=-1)[:, None, :]
+            mats = jax.vmap(
+                lambda lm: umeyama_similarity(lm, template)
+            )(local_pts)
+            # gather-free shear/matmul warp (ops/warp_fast) — the exact
+            # gather warp costs ~1000x more on TPU
+            faces = batched_similarity_warp(windows, mats, fs)
+            x = fixed_image_standardization(faces).astype(cdtype)
+            emb = encoder.apply(enc_vars, x, train=False)
+            emb = emb.astype(jnp.float32)
+            logp = classifier.apply(clf_vars, emb, train=False)
+            pred = jnp.argmax(logp, axis=-1)
+            prob = jnp.exp(
+                jnp.take_along_axis(logp, pred[:, None], axis=-1)[:, 0]
+            )
+            return {
+                "boxes": boxes,
+                "scores": score,
+                "points": points,
+                "valid": valid,
+                "pred": pred.reshape(b, k),
+                "prob": prob.reshape(b, k),
+                "embeddings": emb.reshape(b, k, -1),
+            }
+
+        return jax.jit(run)
+
+    def process(self, frames_u8):
+        """frames_u8: numpy [B, H, W, 3]. Returns device outputs dict
+        (call jax.device_get / .block_until_ready as needed)."""
+        frames_u8 = np.ascontiguousarray(frames_u8)
+        b, h, w = frames_u8.shape[:3]
+        key = (b, h, w)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(b, h, w)
+        return self._jit_cache[key](
+            self.detector.variables,
+            self.encoder_variables,
+            self.classifier_variables,
+            frames_u8,
+        )
+
+    def identify(self, outputs, name_df, threshold):
+        """Host post-pass: padded predictions -> per-frame name lists +
+        kept boxes, honouring the per-class threshold dict semantics
+        (reference demo_image.py:113-147)."""
+        outs = jax.device_get(outputs)
+        n_classes = None
+        results = []
+        for i in range(outs["valid"].shape[0]):
+            v = outs["valid"][i]
+            names, boxes = [], []
+            for j in np.nonzero(v)[0]:
+                pred = int(outs["pred"][i][j])
+                prob = float(outs["prob"][i][j])
+                if isinstance(threshold, dict):
+                    thr = threshold[str(pred)]
+                else:
+                    thr = threshold
+                if prob < thr:
+                    name = "Unknown"
+                else:
+                    sel = list(name_df["name"][name_df["label"] == pred])
+                    name = sel[0] if sel else "Unknown"
+                names.append(name)
+                boxes.append(outs["boxes"][i][j])
+            results.append((names, boxes))
+        return results
