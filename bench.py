@@ -57,6 +57,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vn_celeb_face_recognition_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from vn_celeb_face_recognition_tpu.models import (
         InceptionResnetV1,
         MLPModel,

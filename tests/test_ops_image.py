@@ -69,32 +69,36 @@ def test_invert_affine():
 
 
 def test_crop_area_resize_matches_torch_adaptive_pool(rng):
-    """Integral-image crop resize vs torch integer-crop +
+    """Mask-matmul crop resize vs torch integer-crop +
     adaptive_avg_pool2d (the MTCNN stage-2/3 resample)."""
     torch = pytest.importorskip("torch")
-    import jax
 
     imgs = rng.integers(0, 256, size=(2, 70, 90, 3)).astype(np.float32)
     boxes = np.array(
         [
-            [5.0, 9.0, 40.0, 50.0],
-            [1.0, 1.0, 90.0, 70.0],
-            [33.0, 12.0, 61.0, 44.0],
+            [
+                [5.0, 9.0, 40.0, 50.0],
+                [12.0, 3.0, 77.0, 66.0],
+            ],
+            [
+                [1.0, 1.0, 90.0, 70.0],
+                [33.0, 12.0, 61.0, 44.0],
+            ],
         ],
         dtype=np.float32,
     )
-    image_idx = np.array([0, 1, 1], dtype=np.int32)
     for size in (24, 48):
         got = np.asarray(
-            I.batched_crop_area_resize(
-                jnp.asarray(imgs), jnp.asarray(boxes),
-                jnp.asarray(image_idx), size,
+            I.grouped_crop_area_resize(
+                jnp.asarray(imgs), jnp.asarray(boxes), size
             )
         )
-        for k, (box, idx) in enumerate(zip(boxes, image_idx)):
-            x1, y1, x2, y2 = box.astype(int)
-            crop = imgs[idx, y1 - 1:y2, x1 - 1:x2]
-            t = torch.from_numpy(crop.transpose(2, 0, 1))[None]
-            want = torch.nn.functional.adaptive_avg_pool2d(t, size)
-            want = want[0].numpy().transpose(1, 2, 0)
-            np.testing.assert_allclose(got[k], want, rtol=1e-5, atol=1e-3)
+        for b in range(2):
+            for k in range(2):
+                x1, y1, x2, y2 = boxes[b, k].astype(int)
+                crop = imgs[b, y1 - 1:y2, x1 - 1:x2]
+                t = torch.from_numpy(crop.transpose(2, 0, 1))[None]
+                want = torch.nn.functional.adaptive_avg_pool2d(t, size)
+                want = want[0].numpy().transpose(1, 2, 0)
+                np.testing.assert_allclose(got[b, k], want, rtol=1e-5,
+                                           atol=1e-3)

@@ -145,3 +145,21 @@ def test_early_stopping(toy_embedding_dataset, tmp_path):
     lines = (trainer.log_dir / "info.txt").read_text().splitlines()
     stops = [ln for ln in lines if "Training stops" in ln]
     assert stops
+
+
+def test_trainer_multi_device_mesh(toy_embedding_dataset, tmp_path):
+    """ClassificationTrainer with trainer.n_devices=8: batches shard
+    over the virtual CPU mesh, params replicate, and training still
+    learns."""
+    from train import build_trainer_from_config
+
+    config = make_config(toy_embedding_dataset, tmp_path / "saved",
+                         epochs=4)
+    config["trainer"]["n_devices"] = 8
+    trainer, _, _ = build_trainer_from_config(config)
+    first = trainer._train_epoch(1)
+    for epoch in range(2, 5):
+        last = trainer._train_epoch(epoch)
+    assert trainer.mesh is not None
+    assert last["neg_log_llhood"] < first["neg_log_llhood"]
+    assert last["accuracy"] > 0.8

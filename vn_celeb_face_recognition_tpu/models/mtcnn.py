@@ -37,11 +37,7 @@ import numpy as np
 import flax.linen as nn
 
 from ..ops import boxes as B
-from ..ops.image import (
-    area_resize,
-    batched_crop_area_resize,
-    integral_image,
-)
+from ..ops.image import area_resize, grouped_crop_area_resize
 from .layers import PReLU, max_pool_ceil
 
 
@@ -362,14 +358,11 @@ class MTCNN:
 
             # ---- stage 2: batched 24x24 crops + RNet ----
             # crop coords are clamped ints (the reference's pad()), but
-            # the box math below keeps the unclamped floats; crops use
-            # exact adaptive-area pooling via one shared integral image
-            integral = integral_image(imgs)
+            # the box math below keeps the unclamped floats; crops are
+            # exact adaptive-area pooling as 0/1-mask matmuls
             crop_boxes = B.clamp_boxes(boxes, w, h)
-            img_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), k2)
-            flat_boxes = crop_boxes.reshape(batch * k2, 4)
-            crops = batched_crop_area_resize(imgs, flat_boxes, img_idx, 24,
-                                             integral=integral)
+            crops = grouped_crop_area_resize(imgs, crop_boxes, 24)
+            crops = crops.reshape(batch * k2, 24, 24, 3)
             r_reg, r_prob = rnet.apply(variables["rnet"],
                                        _normalize(crops))
             r_score = r_prob[:, 1].reshape(batch, k2)
@@ -388,10 +381,8 @@ class MTCNN:
 
             # ---- stage 3: batched 48x48 crops + ONet ----
             crop_boxes = B.clamp_boxes(boxes, w, h)
-            img_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), k3)
-            flat_boxes = crop_boxes.reshape(batch * k3, 4)
-            crops = batched_crop_area_resize(imgs, flat_boxes, img_idx, 48,
-                                             integral=integral)
+            crops = grouped_crop_area_resize(imgs, crop_boxes, 48)
+            crops = crops.reshape(batch * k3, 48, 48, 3)
             o_reg, o_landm, o_prob = onet.apply(
                 variables["onet"], _normalize(crops)
             )

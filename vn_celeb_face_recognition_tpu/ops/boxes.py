@@ -269,3 +269,66 @@ def encode_landmarks(matched, priors, variances):
     pts = matched.reshape(matched.shape[:-1] + (5, 2))
     g = (pts - priors[..., None, :2]) / (variances[0] * priors[..., None, 2:])
     return g.reshape(matched.shape[:-1] + (10,))
+
+
+def point_form(priors):
+    """(cx, cy, w, h) -> (x1, y1, x2, y2) (box_utils.py point_form)."""
+    half = priors[..., 2:] / 2.0
+    return jnp.concatenate(
+        [priors[..., :2] - half, priors[..., :2] + half], axis=-1
+    )
+
+
+def match_priors(truths, labels, landms, priors, variances, threshold,
+                 truths_valid=None):
+    """Train-time GT <-> prior assignment (box_utils.py:96-153), shape-
+    static over a padded GT set.
+
+    Args:
+      truths: [G, 4] GT boxes xyxy (padded rows arbitrary).
+      labels: [G] int class labels (1 = face, -1 = ignore-landmark face
+        per the RetinaFace convention).
+      landms: [G, 10] GT landmarks.
+      priors: [P, 4] cxcywh anchors.
+      variances: (0.1, 0.2).
+      threshold: positive-match IoU threshold.
+      truths_valid: [G] bool mask of real GT rows.
+
+    Returns:
+      (loc_t [P, 4], conf_t [P], landm_t [P, 10]) — encoded regression
+      targets, per-prior class (0 = background), encoded landmarks.
+    """
+    g = truths.shape[0]
+    if truths_valid is None:
+        truths_valid = jnp.ones((g,), bool)
+
+    overlaps = jaccard(truths, point_form(priors))  # [G, P]
+    overlaps = jnp.where(truths_valid[:, None], overlaps, -1.0)
+
+    # best prior per GT and best GT per prior
+    best_prior_idx = jnp.argmax(overlaps, axis=1)            # [G]
+    best_prior_overlap = jnp.max(overlaps, axis=1)           # [G]
+    best_truth_overlap = jnp.max(overlaps, axis=0)           # [P]
+    best_truth_idx = jnp.argmax(overlaps, axis=0)            # [P]
+
+    # the reference drops GTs whose best prior IoU <= 0.2
+    # (box_utils.py valid_gt_idx) and force-assigns each remaining GT's
+    # best prior to it with overlap 2
+    gt_keep = truths_valid & (best_prior_overlap > 0.2)
+    p = priors.shape[0]
+    # out-of-bounds index + mode='drop' skips non-kept GT rows safely
+    force_idx = jnp.where(gt_keep, best_prior_idx, p)
+    gt_range = jnp.arange(g)
+    best_truth_overlap = best_truth_overlap.at[force_idx].set(
+        jnp.full((g,), 2.0), mode="drop"
+    )
+    best_truth_idx = best_truth_idx.at[force_idx].set(
+        gt_range, mode="drop"
+    )
+
+    matches = truths[best_truth_idx]                 # [P, 4]
+    conf = labels[best_truth_idx]                    # [P]
+    conf = jnp.where(best_truth_overlap < threshold, 0, conf)
+    loc_t = encode_boxes(matches, priors, variances)
+    landm_t = encode_landmarks(landms[best_truth_idx], priors, variances)
+    return loc_t, conf, landm_t

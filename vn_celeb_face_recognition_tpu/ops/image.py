@@ -142,63 +142,88 @@ def integral_image(images):
     return s
 
 
-def batched_crop_area_resize(images, boxes, image_idx, size,
-                             integral=None):
-    """EXACT adaptive-average-pool crop-resize over integer crop boxes.
+def _area_pool_bounds(lo, hi, size):
+    """Adaptive-pool integer cell bounds along one axis.
+
+    lo/hi: [K] 1-based inclusive crop bounds (clamp_boxes output).
+    Returns (p0, p1) [K, size] absolute 0-based pixel bounds.
+    """
+    o = jnp.arange(size, dtype=jnp.float32)
+    extent = hi - lo + 1.0
+    r0 = jnp.floor(o[None, :] * extent[:, None] / size)
+    r1 = jnp.ceil((o[None, :] + 1.0) * extent[:, None] / size)
+    r1 = jnp.minimum(jnp.maximum(r1, r0 + 1.0), extent[:, None])
+    return lo[:, None] - 1.0 + r0, lo[:, None] - 1.0 + r1
+
+
+def _area_pool_masks(p0, p1, in_size):
+    """0/1 membership masks [K, size, in_size] + cell widths [K, size].
+
+    The masks contract against the image on the MXU in bf16 — 0/1
+    weights and uint8-valued pixels keep the sums EXACT (f32
+    accumulation); the 1/width normalisation divides afterwards, so
+    the result is bit-faithful adaptive average pooling without a
+    single gather.
+    """
+    i = jnp.arange(in_size, dtype=jnp.float32)
+    member = (i >= p0[..., None]) & (i < p1[..., None])
+    return member, (p1 - p0)
+
+
+def grouped_crop_area_resize(images, boxes, size):
+    """EXACT adaptive-average-pool crop-resize over integer crop boxes,
+    grouped per frame — ZERO gathers.
 
     Reproduces the reference MTCNN stage-2/3 resampling bit-for-bit:
     integer crop ``imgs[..., y1-1:y2, x1-1:x2]`` followed by torch
-    adaptive_avg_pool2d to (size, size) (detect_face.py:109-112,304-306).
-    Each output cell averages input pixels [floor(o*ch/S),
-    ceil((o+1)*ch/S)) — evaluated with 4 integral-image gathers per
-    cell, so the whole padded face set is a handful of vectorised
-    gathers instead of per-box resize calls.
+    adaptive_avg_pool2d to (size, size) (detect_face.py:109-112,
+    304-306), expressed as two batched 0/1-mask contractions per axis.
+    The 0/1 masks and uint8-valued pixels are exact in bf16, the MXU
+    accumulates in f32, and the 1/cell-area normalisation divides
+    afterwards — bit-faithful area pooling at matmul speed (gathers
+    serialise on TPU, and vmapped per-face image indexing can
+    materialise frame-copy temporaries).
 
-    boxes are 1-based inclusive integer-valued floats (clamp_boxes
-    output). Pass a precomputed ``integral`` (from
-    :func:`integral_image`) to share it across stages.
+    images: [B, H, W, C]; boxes: [B, K, 4] 1-based inclusive
+    integer-valued floats (clamp_boxes output). Returns [B, K, S, S, C].
     """
-    if integral is None:
-        integral = integral_image(images)
+    b, h, w, c = images.shape
+    k = boxes.shape[1]
+    flat = boxes.reshape(b * k, 4)
+    py0, py1 = _area_pool_bounds(flat[:, 1], flat[:, 3], size)
+    px0, px1 = _area_pool_bounds(flat[:, 0], flat[:, 2], size)
+    my, wy = _area_pool_masks(py0, py1, h)   # [BK, S, H], [BK, S]
+    mx, wx = _area_pool_masks(px0, px1, w)   # [BK, S, W], [BK, S]
+    my = my.reshape(b, k, size, h).astype(jnp.bfloat16)
+    mx = mx.reshape(b, k, size, w).astype(jnp.bfloat16)
 
-    o = jnp.arange(size, dtype=jnp.float32)
+    img_bf = images.astype(jnp.bfloat16)
+    # tmp[b, k, o, w, c] = sum_h my[b, k, o, h] * images[b, h, w, c]
+    tmp = jnp.einsum("bkoh,bhwc->bkowc", my, img_bf,
+                     preferred_element_type=jnp.float32)
+    # second (36x smaller) contraction in f32: tmp rows exceed bf16's
+    # integer-exact range
+    out = jnp.einsum("bkpw,bkowc->bkopc", mx.astype(jnp.float32), tmp)
+    norm = (wy[:, :, None] * wx[:, None, :]).reshape(
+        b, k, size, size, 1
+    )
+    return out / jnp.maximum(norm, 1.0)
 
-    def one(box, idx):
-        ii = integral[idx]  # [H+1, W+1, C]
-        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-        y0 = y1 - 1.0
-        x0 = x1 - 1.0
-        ch = y2 - y1 + 1.0
-        cw = x2 - x1 + 1.0
-        # adaptive pooling integer boundaries, relative to crop origin
-        ry0 = jnp.floor(o * ch / size)
-        ry1 = jnp.ceil((o + 1.0) * ch / size)
-        ry1 = jnp.minimum(jnp.maximum(ry1, ry0 + 1.0), ch)
-        rx0 = jnp.floor(o * cw / size)
-        rx1 = jnp.ceil((o + 1.0) * cw / size)
-        rx1 = jnp.minimum(jnp.maximum(rx1, rx0 + 1.0), cw)
-        iy0 = (y0 + ry0).astype(jnp.int32)
-        iy1 = (y0 + ry1).astype(jnp.int32)
-        ix0 = (x0 + rx0).astype(jnp.int32)
-        ix1 = (x0 + rx1).astype(jnp.int32)
-        h_max = ii.shape[0] - 1
-        w_max = ii.shape[1] - 1
-        iy0 = jnp.clip(iy0, 0, h_max)
-        iy1 = jnp.clip(iy1, 0, h_max)
-        ix0 = jnp.clip(ix0, 0, w_max)
-        ix1 = jnp.clip(ix1, 0, w_max)
-        # 4-corner inclusion-exclusion, broadcast to [S, S, C]
-        a = ii[iy1][:, ix1]
-        b = ii[iy0][:, ix1]
-        c = ii[iy1][:, ix0]
-        d = ii[iy0][:, ix0]
-        total = (a - b - c + d).astype(jnp.float32)
-        count = (
-            (ry1 - ry0)[:, None] * (rx1 - rx0)[None, :]
-        )[..., None]
-        return total / jnp.maximum(count, 1.0)
 
-    return jax.vmap(one)(boxes, image_idx)
+def batched_crop_area_resize(images, boxes, image_idx, size,
+                             integral=None):
+    """Flat-interface wrapper over :func:`grouped_crop_area_resize` for
+    face sets laid out as [K, 4] + image_idx with a FIXED per-image
+    count (K % B == 0 and image_idx block-ordered), which is how the
+    capacity-padded cascade produces them. ``integral`` is accepted for
+    backward compatibility and ignored."""
+    b = images.shape[0]
+    k = boxes.shape[0]
+    per = k // b
+    grouped = grouped_crop_area_resize(
+        images, boxes.reshape(b, per, 4), size
+    )
+    return grouped.reshape(k, size, size, images.shape[-1])
 
 
 # ---------------------------------------------------------------------------

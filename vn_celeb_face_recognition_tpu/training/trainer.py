@@ -113,6 +113,19 @@ class BaseTrainer:
         # transforms: device-side batched fns resolved by name
         self.train_transform, self.val_transform = self._build_transforms()
 
+        # optional multi-device mesh: batches shard over 'data',
+        # parameters replicate; XLA inserts the gradient psum over ICI
+        if self.mesh is None and tcfg.get("n_devices", 1) > 1:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(n_data=tcfg["n_devices"])
+        self._data_sharding = None
+        self._repl_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._repl_sharding = NamedSharding(self.mesh, P())
+
         self.rng = jax.random.PRNGKey(seed)
         self.variables = None
         self.opt_state = None
@@ -168,6 +181,11 @@ class BaseTrainer:
             self.resume_checkpoint(self._pending_resume)
             self._pending_resume = None
         if self._jit_train_step is None:
+            if self.mesh is not None and self._repl_sharding is not None:
+                self.variables = jax.device_put(self.variables,
+                                                self._repl_sharding)
+                self.opt_state = jax.device_put(self.opt_state,
+                                                self._repl_sharding)
             self._build_steps()
 
     def _prepare_input(self, data, train, rng):
@@ -183,6 +201,17 @@ class BaseTrainer:
     def _encode(self, x):
         """Hook for trainers that run a frozen encoder before the model."""
         return x
+
+    def _place_batch(self, arrays):
+        """Shard batch arrays over the data axis when a mesh is set."""
+        if self.mesh is None:
+            return arrays
+        from ..parallel import data_sharding
+
+        return {
+            k: jax.device_put(v, data_sharding(self.mesh, v.ndim))
+            for k, v in arrays.items()
+        }
 
     def _build_steps(self):
         if self._jit_train_step is not None:
@@ -406,9 +435,9 @@ class ClassificationTrainer(BaseTrainer):
         for batch_idx, batch in enumerate(self.train_loader):
             self._ensure_ready(batch)
             n = float(np.sum(batch["weight"]))
-            arrays = {
+            arrays = self._place_batch({
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
-            }
+            })
             self.variables, self.opt_state, loss, metrics = \
                 self._jit_train_step(
                     self.variables, self.opt_state, arrays, self._next_rng()
@@ -440,9 +469,9 @@ class ClassificationTrainer(BaseTrainer):
         result = [] if save_result else None
         for batch_idx, batch in enumerate(self.val_loader):
             self._ensure_ready(batch)
-            arrays = {
+            arrays = self._place_batch({
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
-            }
+            })
             loss, metrics, pred, prob = self._jit_eval_step(
                 self.variables, arrays
             )
