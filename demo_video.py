@@ -34,6 +34,7 @@ from vn_celeb_face_recognition_tpu.utils import (
     append_log_to_file,
     convert_sec_to_max_time_quantity,
 )
+from vn_celeb_face_recognition_tpu.utils.tracing import StageTimer, trace
 from demo_image import build_arg_parser as build_image_arg_parser, \
     setup_models
 
@@ -108,14 +109,44 @@ def get_video_fps(video_path):
     return fps
 
 
+def build_fused_engine(models, target_fs):
+    """Fused single-program engine over the loaded models (MTCNN
+    detector path)."""
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    (_, detection_md, emb_model, classify_model, _, _) = models
+    return FusedRecognitionEngine(
+        detection_md,
+        emb_model.module, emb_model.variables,
+        classify_model.module, classify_model.variables,
+        target_fs=target_fs[0],
+    )
+
+
 def process_video(args, models, target_fs, center_point, threshold,
                   frame_idxes=None, track_bbox=True):
     """The shared frame loop (demo_video.py:46-199 /
-    celeb_statistic.py:110-295). Returns (processed_frames, wall_time)."""
+    celeb_statistic.py:110-295). Returns (processed_frames, wall_time).
+
+    With ``--fused_engine`` the whole detect->align->embed->classify
+    chunk runs as ONE device program (pipeline/engine.py); the chunk
+    must then keep a fixed size (the tail chunk is padded)."""
     import cv2
 
     (label2name_df, detection_md, emb_model, classify_model, emt_model,
      idx2etag) = models
+
+    engine = None
+    if getattr(args, "fused_engine", False):
+        if args.recog_emotion:
+            print("fused engine: emotion head not fused; falling back")
+        elif not hasattr(detection_md, "_build_detect_fn"):
+            print("fused engine: requires the MTCNN detector; falling "
+                  "back")
+        else:
+            engine = build_fused_engine(models, target_fs)
 
     if not os.path.exists(args.output_frame):
         os.makedirs(args.output_frame)
@@ -137,6 +168,7 @@ def process_video(args, models, target_fs, center_point, threshold,
     append_log_to_file(args.output_tracker, df_columns)
 
     processed_frame = 0
+    timer = StageTimer()
     start_time = time.time()
     for frames_queue, frames_info in frame_chunks(
         args.video_path, args.n_frames, frame_idxes
@@ -150,27 +182,49 @@ def process_video(args, models, target_fs, center_point, threshold,
                 )
             )
 
-        rgb_images = [
-            cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in frames_queue
-        ]
-        if args.inference_method == "seq_fd_vs_aln":
-            bth_alg_faces, bth_chosen_boxes = sequential_detect_and_align(
-                rgb_images, detection_md, center_point, target_fs,
-                box_requirements, False,
-            )
-        elif args.inference_method == "par_fd_vs_aln":
-            bth_alg_faces, bth_chosen_boxes = parallel_detect_and_align(
-                rgb_images, detection_md, center_point, target_fs, False
-            )
-        else:
-            raise SystemExit(
-                "Do not support {} method.".format(args.inference_method)
-            )
+        with timer.stage("bgr2rgb"):
+            rgb_images = [
+                cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in frames_queue
+            ]
 
-        bth_names = recognize_celeb(
-            bth_alg_faces, None, emb_model, classify_model, None,
-            label2name_df, threshold,
-        )
+        if engine is not None:
+            with timer.stage("fused_engine"):
+                stack = np.stack(rgb_images)
+                real = stack.shape[0]
+                if real < args.n_frames:  # pad tail chunk, fixed shape
+                    pad = np.repeat(stack[:1], args.n_frames - real, 0)
+                    stack = np.concatenate([stack, pad], 0)
+                outputs = engine.process(stack)
+                results = engine.identify(outputs, label2name_df,
+                                          threshold)[:real]
+            bth_names = [r[0] for r in results]
+            bth_chosen_boxes = [r[1] for r in results]
+        else:
+            with timer.stage("detect_align"):
+                if args.inference_method == "seq_fd_vs_aln":
+                    bth_alg_faces, bth_chosen_boxes = \
+                        sequential_detect_and_align(
+                            rgb_images, detection_md, center_point,
+                            target_fs, box_requirements, False,
+                        )
+                elif args.inference_method == "par_fd_vs_aln":
+                    bth_alg_faces, bth_chosen_boxes = \
+                        parallel_detect_and_align(
+                            rgb_images, detection_md, center_point,
+                            target_fs, False,
+                        )
+                else:
+                    raise SystemExit(
+                        "Do not support {} method.".format(
+                            args.inference_method
+                        )
+                    )
+
+            with timer.stage("embed_classify"):
+                bth_names = recognize_celeb(
+                    bth_alg_faces, None, emb_model, classify_model, None,
+                    label2name_df, threshold,
+                )
 
         np_image_recogs = []
         for idx, names in enumerate(bth_names):
@@ -218,7 +272,10 @@ def process_video(args, models, target_fs, center_point, threshold,
                 else:
                     h, w, _ = frames_queue[idx].shape
                     scale = np.array([w, h, w, h])
-                    scaled_bboxes = [list(x / scale) for x in bboxes]
+                    scaled_bboxes = [
+                        [float(v) for v in (np.asarray(x) / scale)]
+                        for x in bboxes
+                    ]
                 row.append('"' + str(scaled_bboxes) + '"')
             if args.recog_emotion:
                 emotions = bth_emotions[idx]
@@ -237,6 +294,8 @@ def process_video(args, models, target_fs, center_point, threshold,
     print(
         "FPS for recognition face: {}".format(int(processed_frame / wall))
     )
+    print("Per-stage breakdown:")
+    timer.log()
     return processed_frame, wall
 
 
@@ -250,6 +309,9 @@ def build_arg_parser():
     p.add_argument("-sfr", "--save_frame_recognized", action="store_true")
     p.add_argument("--log_step", default=100, type=int)
     p.add_argument("--n_frames", default=16, type=int)
+    p.add_argument("--fused_engine", action="store_true",
+                   help="run detect+align+embed+classify as one fused "
+                        "device program per frame chunk")
     p.add_argument("-of", "--output_frame", default="output_frame",
                    type=str)
     # rename the image CLI's -i to the video path

@@ -82,3 +82,26 @@ def test_batch_is_sharded(rng):
     x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
     placed = jax.device_put(x, data_sharding(mesh, 2))
     assert len(placed.sharding.device_set) == 8
+
+
+def test_sharded_encoder_matches_single(rng):
+    """Sharded batched inference (embedding-extraction path) equals the
+    single-device result."""
+    import flax.linen as nn
+
+    from vn_celeb_face_recognition_tpu.pipeline.recognition import \
+        _JitApply
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(32)(nn.relu(nn.Dense(64)(x)))
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))
+    x = rng.normal(size=(23, 16)).astype(np.float32)  # odd count
+
+    single = _JitApply(model, variables)(x)
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = _JitApply(model, variables, mesh=mesh)(x)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)

@@ -164,3 +164,55 @@ def test_demo_video_tracker_csv(face_image, pipeline_files, tmp_path):
             assert all(-0.1 <= v <= 1.1 for v in bb)
         n_with_faces += bool(bbs)
     assert n_with_faces >= 4
+
+
+@pytest.mark.slow
+def test_demo_video_fused_engine(face_image, pipeline_files, tmp_path):
+    """--fused_engine path: one device program per chunk, same tracker
+    format."""
+    import cv2
+    import pandas as pd
+
+    import demo_image
+    import demo_video
+
+    video_path = str(tmp_path / "clip2.avi")
+    h, w = 192, 192
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 8.0, (w, h)
+    )
+    bgr_face = cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR)
+    for t in range(6):
+        frame = np.full((h, w, 3), 70, dtype=np.uint8)
+        frame[16:176, 16:176] = cv2.resize(bgr_face, (160, 160))
+        writer.write(frame)
+    writer.release()
+
+    args = make_args(
+        pipeline_files,
+        video_path=video_path,
+        output_tracker=str(tmp_path / "tracker2.csv"),
+        output_frame=str(tmp_path / "frames2"),
+        n_frames=3,
+        log_step=100,
+        recog_threshold=0.0,
+        fused_engine=True,
+        recog_emotion=False,
+    )
+    models = demo_image.setup_models(args)
+    from vn_celeb_face_recognition_tpu.pipeline import center_point_dict
+
+    target_fs = (args.target_face_size, args.target_face_size)
+    center_point = center_point_dict[str(target_fs)]
+    processed, wall = demo_video.process_video(
+        args, models, target_fs, center_point, args.recog_threshold
+    )
+    assert processed == 6
+    df = pd.read_csv(args.output_tracker)
+    assert len(df) == 6
+    import ast
+
+    detected = sum(
+        bool(ast.literal_eval(r)) for r in df["Bboxes"]
+    )
+    assert detected >= 4

@@ -39,12 +39,26 @@ def _bucket(n, minimum=8):
 
 
 class _JitApply:
-    """Bucketed-batch jitted apply over a flax (module, variables)."""
+    """Bucketed-batch jitted apply over a flax (module, variables).
 
-    def __init__(self, module, variables, transform=None):
+    With a mesh, inputs shard over the 'data' axis and variables
+    replicate — batched inference (embedding extraction, frame chunks)
+    scales across chips with XLA inserting the collectives.
+    """
+
+    def __init__(self, module, variables, transform=None, mesh=None):
         self.module = module
         self.variables = variables
         self.transform = transform
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from ..parallel import data_sharding, replicated_sharding
+
+            self._data_sharding = data_sharding(mesh, rank=1)
+            self.variables = jax.device_put(
+                variables, replicated_sharding(mesh)
+            )
         self._cache = {}
 
     def _fn(self, n):
@@ -65,9 +79,20 @@ class _JitApply:
         x = np.asarray(x)
         n = x.shape[0]
         b = _bucket(n)
+        if self.mesh is not None:
+            # keep the sharded batch divisible by the data axis
+            lcm = int(self.mesh.shape["data"])
+            b = -(-b // lcm) * lcm
         if b != n:
             pad = np.repeat(x[:1], b - n, axis=0)
             x = np.concatenate([x, pad], axis=0)
+        if self._data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(
+                x, NamedSharding(self.mesh, P("data", *([None] * (
+                    x.ndim - 1))))
+            )
         out = self._fn(b)(self.variables, jnp.asarray(x))
         if isinstance(out, tuple):
             return tuple(np.asarray(o)[:n] for o in out)
