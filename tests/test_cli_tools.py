@@ -1,0 +1,146 @@
+"""CLI tool coverage: find_embedding, split_train_val,
+false_prediction_vlz, crop_face plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def aligned_faces_dir(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("aligned")
+    gen = np.random.default_rng(5)
+    for i in range(11):
+        arr = gen.integers(0, 255, size=(160, 160, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"{i:03d}_0.png")
+    return str(root)
+
+
+def test_find_embedding_cli(aligned_faces_dir, tmp_path):
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from find_embedding import cal_embedding
+    from vn_celeb_face_recognition_tpu.data.transforms import \
+        transforms_dict
+    from vn_celeb_face_recognition_tpu.pipeline.recognition import \
+        _JitApply
+
+    class TinyEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(512)(x)
+
+    model = TinyEnc()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 160, 160, 3)))
+    enc = _JitApply(model, variables,
+                    transform=transforms_dict["default"])
+
+    out_dir = str(tmp_path / "emb")
+    n = cal_embedding(aligned_faces_dir, 4, enc, out_dir, log=False)
+    assert n == 11
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 11
+    emb = np.load(os.path.join(out_dir, files[0]))["arr_0"]
+    assert emb.shape[-1] == 512
+
+    # native C++ loader path produces the same embeddings
+    from vn_celeb_face_recognition_tpu import native
+
+    if native.available():
+        out_dir2 = str(tmp_path / "emb_native")
+        n2 = cal_embedding(aligned_faces_dir, 4, enc, out_dir2,
+                           log=False, native_size=160)
+        assert n2 == 11
+        for f in files:
+            a = np.load(os.path.join(out_dir, f))["arr_0"]
+            b = np.load(os.path.join(out_dir2, f))["arr_0"]
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_split_train_val_cli(tmp_path):
+    import pandas as pd
+
+    from split_train_val import create_file_describe_ds, split_train_val
+
+    rows = []
+    for label, count in [(0, 3), (1, 1), (2, 2)]:
+        for j in range(count):
+            rows.append((f"{label}_{j}.png", label))
+    pd.DataFrame(rows, columns=["image", "label"]).to_csv(
+        tmp_path / "train.csv", index=False
+    )
+    desc = str(tmp_path / "vn_celeb.json")
+    create_file_describe_ds(str(tmp_path / "train.csv"), desc)
+    tr, va = split_train_val(desc, str(tmp_path / "train.json"),
+                             str(tmp_path / "val.json"))
+    assert tr["0"] == ["0_0.png", "0_1.png"]
+    assert va["0"] == ["0_2.png"]
+    assert tr["1"] == ["1_0.png"] and "1" not in va
+
+
+def test_false_prediction_vlz(tmp_path):
+    import pandas as pd
+    from PIL import Image
+
+    from false_prediction_vlz import visualize_false_prediction
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    gen = np.random.default_rng(1)
+    desc = {}
+    paths = []
+    for c in range(3):
+        name = f"{c}_0.png"
+        Image.fromarray(
+            gen.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+        ).save(img_dir / name)
+        desc[str(c)] = [name]
+        paths.append(str(img_dir / name))
+
+    result = pd.DataFrame(
+        {
+            "Path": paths,
+            "Target": [0, 1, 2],
+            "Prediction": [0, 2, 2],  # one mismatch
+            "Probability": [0.9, 0.8, 0.7],
+        }
+    )
+    result.to_csv(tmp_path / "result.csv", index=False)
+    out_dir = str(tmp_path / "vlz")
+    visualize_false_prediction(
+        str(tmp_path / "result.csv"), desc, str(img_dir), out_dir
+    )
+    assert len(os.listdir(out_dir)) == 1
+
+
+def test_mtcnn_forward_extract(tmp_path):
+    """MTCNN __call__ parity surface: returns standardised face crops
+    + boxes (mtcnn.py forward/extract semantics)."""
+    import glob
+
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.models import MTCNN
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    img = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((160, 160))
+    )
+    det = MTCNN(min_face_size=20, keep_all=False, image_size=160)
+    faces, boxes, probs = det(img, return_prob=True)
+    assert faces is not None
+    assert faces.shape == (160, 160, 3)
+    # post-processed: fixed standardisation range
+    assert -1.1 <= float(faces.min()) and float(faces.max()) <= 1.1
+    assert boxes.shape == (1, 4)

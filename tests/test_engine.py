@@ -1,0 +1,74 @@
+"""FusedRecognitionEngine integration: detection, alignment, embedding
+and identification of real faces pasted into frames — one program."""
+
+import glob
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.slow
+def test_fused_engine_end_to_end(rng):
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.models import (
+        InceptionResnetV1,
+        MLPModel,
+        MTCNN,
+    )
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    face = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((120, 120))
+    )
+
+    det = MTCNN(min_face_size=40, keep_all=True, pnet_cap_per_scale=128,
+                rnet_cap=64, onet_cap=32, out_cap=8)
+    enc = InceptionResnetV1()
+    key = jax.random.PRNGKey(0)
+    enc_vars = enc.init(key, jnp.zeros((1, 112, 112, 3)))
+    clf = MLPModel(input_dim=512, num_classes=16)
+    clf_vars = clf.init(key, jnp.zeros((1, 512)))
+    engine = FusedRecognitionEngine(det, enc, enc_vars, clf, clf_vars,
+                                    target_fs=112)
+
+    frames = np.full((2, 240, 240, 3), 80, dtype=np.uint8)
+    frames[0, 20:140, 30:150] = face
+    frames[1, 60:180, 60:180] = face
+    out = jax.device_get(engine.process(frames))
+
+    assert out["valid"].sum() >= 2
+    assert out["embeddings"].shape == (2, 8, 512)
+    # embeddings of the same face in both frames should agree closely
+    idx0 = np.nonzero(out["valid"][0])[0][0]
+    idx1 = np.nonzero(out["valid"][1])[0][0]
+    e0 = out["embeddings"][0][idx0]
+    e1 = out["embeddings"][1][idx1]
+    cos = float(
+        np.dot(e0, e1) / (np.linalg.norm(e0) * np.linalg.norm(e1))
+    )
+    assert cos > 0.99
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"label": range(16), "name": [f"P{i}" for i in range(16)]}
+    )
+    results = engine.identify(out, df, 0.0)
+    assert len(results) == 2
+    for names, boxes in results:
+        assert len(names) >= 1
+        assert len(names) == len(boxes)
+
+    # threshold 1.1 -> everything Unknown
+    results = engine.identify(out, df, 1.1)
+    for names, _ in results:
+        assert all(n == "Unknown" for n in names)
