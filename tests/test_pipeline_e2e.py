@@ -216,3 +216,75 @@ def test_demo_video_fused_engine(face_image, pipeline_files, tmp_path):
         bool(ast.literal_eval(r)) for r in df["Bboxes"]
     )
     assert detected >= 4
+
+
+@pytest.mark.slow
+def test_celeb_statistic_end_to_end(face_image, pipeline_files,
+                                    tmp_path, monkeypatch):
+    """celeb_statistic main(): frame-index sampling, local thresholds,
+    tracker.csv + tracker.json emission, tracker reuse."""
+    import sys
+
+    import cv2
+
+    video_path = str(tmp_path / "stat.avi")
+    h, w = 200, 200
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 4.0, (w, h)
+    )
+    bgr_face = cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR)
+    for t in range(16):
+        frame = np.full((h, w, 3), 65, dtype=np.uint8)
+        frame[20:180, 20:180] = cv2.resize(bgr_face, (160, 160))
+        writer.write(frame)
+    writer.release()
+
+    thresholds = {str(i): 0.0 for i in range(16)}
+    thr_path = tmp_path / "local_thresholds.json"
+    thr_path.write_text(json.dumps(thresholds))
+
+    tracker_csv = tmp_path / "stat_tracker.csv"
+    tracker_json = tmp_path / "stat_tracker.json"
+    argv = [
+        "celeb_statistic.py",
+        "-vp", video_path,
+        "-ot", str(tracker_csv),
+        "-jst", str(tracker_json),
+        "-l2n", pipeline_files["label2name"],
+        "-eargs", pipeline_files["enc_cfg"],
+        "-dargs", pipeline_files["det_cfg"],
+        "-det", "MTCNN",
+        "-enc", "InceptionResnetV1",
+        "-m", "",
+        "-nc", "16",
+        "-fidx", "1", "3",
+        "--n_frames", "4",
+        "--track_bbox",
+        "--local_thresholds", str(thr_path),
+        "--statistic_mode", "dynamic_itv",
+        "-nvi", "2",
+        "-tap", "1",
+        "-of", str(tmp_path / "stat_frames"),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    import celeb_statistic
+
+    celeb_statistic.main()
+
+    import pandas as pd
+
+    df = pd.read_csv(tracker_csv)
+    # 16 frames at 4 fps, sampling idx {1,3} per second -> 8 rows
+    assert len(df) == 8
+    data = json.loads(tracker_json.read_text())
+    assert set(data.keys()) == {"1", "2"}
+    total_sightings = sum(
+        len(v) for itv in data.values()
+        for v in itv["celebrities"].values()
+    )
+    assert total_sightings >= 4
+
+    # reuse path: main() with the tracker present must not reprocess
+    tracker_json.unlink()
+    celeb_statistic.main()
+    assert tracker_json.exists()

@@ -32,32 +32,35 @@ from .image import invert_affine
 
 
 def _xshear(img, shifts, pad):
-    """out[y, x] = img(y, x + shifts[y]) with bilinear interp and zero
-    border; img [H, N, C], shifts [H]. One contiguous dynamic_slice per
-    row — no gathers."""
-    h, n, c = img.shape
-    padded = jnp.pad(img, ((0, 0), (pad, pad + 1), (0, 0)))
+    """out[y, :, x] = img(y, :, x + shifts[y]) with bilinear interp and
+    zero border; img [H, C, W] (W minor so lane tiling stays dense —
+    channels-minor layouts pad 3 -> 128 lanes, a 43x memory blowup),
+    shifts [H]. One contiguous dynamic_slice per row — no gathers."""
+    h, c, n = img.shape
+    padded = jnp.pad(img, ((0, 0), (0, 0), (pad, pad + 1)))
     k = jnp.floor(shifts)
     f = (shifts - k)[:, None, None]
     k = jnp.clip(k.astype(jnp.int32), -pad, pad)
 
     def row(r, kk):
-        return jax.lax.dynamic_slice(r, (kk + pad, 0), (n + 1, c))
+        return jax.lax.dynamic_slice(r, (0, kk + pad), (c, n + 1))
 
-    rows = jax.vmap(row)(padded, k)  # rows[y, x] = img[y, x + k[y]]
-    return rows[:, :n] * (1.0 - f) + rows[:, 1:] * f
+    rows = jax.vmap(row)(padded, k)  # [H, C, n+1]
+    return rows[:, :, :n] * (1.0 - f) + rows[:, :, 1:] * f
 
 
 def _rot_quadrant(img, k):
-    """Sampling-space k*90-degree rotation of a square [N, N, C] image:
-    returns img_k with img_k(q) = img(R(k*pi/2)(q - c) + c)."""
+    """Sampling-space k*90-degree rotation of a square image in
+    [H, C, W] layout: returns img_k with
+    img_k(q) = img(R(k*pi/2)(q - c) + c)."""
+    swap = lambda x: jnp.swapaxes(x, 0, 2)
     return jax.lax.switch(
         k,
         [
             lambda x: x,
-            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),
-            lambda x: jnp.flip(x, axis=(0, 1)),
-            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),
+            lambda x: jnp.flip(swap(x), axis=0),
+            lambda x: jnp.flip(x, axis=(0, 2)),
+            lambda x: jnp.flip(swap(x), axis=2),
         ],
         img,
     )
@@ -88,10 +91,13 @@ def similarity_warp(window, m, out_size, pad=None):
     phi = jnp.arctan2(a_mat[1, 0], a_mat[0, 0])
     t = a_mat[:, 2]
 
+    # internal layout [H, C, W]: W rides the 128-lane dim densely
+    img_cf = jnp.transpose(window, (0, 2, 1))
+
     # quadrant reduction
     k = jnp.round(phi / (jnp.pi / 2)).astype(jnp.int32) % 4
     phi_r = phi - jnp.round(phi / (jnp.pi / 2)) * (jnp.pi / 2)
-    img_k = _rot_quadrant(window, k)
+    img_k = _rot_quadrant(img_cf, k)
 
     # Paeth 3-shear rotation about the centre (sampling maps compose:
     # X(alpha) Y(beta) X(alpha) == R(phi_r))
@@ -101,11 +107,11 @@ def similarity_warp(window, m, out_size, pad=None):
     xs = jnp.arange(n, dtype=jnp.float32) - c
 
     buf = _xshear(img_k, alpha * ys, pad)
-    # y-shear == x-shear on the transposed buffer
+    # y-shear == x-shear with the H and W axes swapped
     buf = jnp.swapaxes(
-        _xshear(jnp.swapaxes(buf, 0, 1), beta * xs, pad), 0, 1
+        _xshear(jnp.swapaxes(buf, 0, 2), beta * xs, pad), 0, 2
     )
-    rot = _xshear(buf, alpha * ys, pad)  # [n, n, C]
+    rot = _xshear(buf, alpha * ys, pad)  # [n, C, n]
 
     # axis-aligned scale + translate: q = s*p + u
     # u = c + R(-phi)(t - c_vec); with R(-phi) applied to (t - c)
@@ -116,8 +122,9 @@ def similarity_warp(window, m, out_size, pad=None):
     o = jnp.arange(out_size, dtype=jnp.float32)
     ry = _hat_matrix(s * o + uy, n)  # rows
     rx = _hat_matrix(s * o + ux, n)  # cols
-    tmp = jnp.einsum("oh,hwc->owc", ry, rot)
-    return jnp.einsum("pw,owc->opc", rx, tmp)
+    tmp = jnp.einsum("pw,hcw->hcp", rx, rot)
+    out = jnp.einsum("oh,hcp->ocp", ry, tmp)
+    return jnp.transpose(out, (0, 2, 1))  # [out, out, C]
 
 
 def batched_similarity_warp(windows, mats, out_size):
