@@ -30,10 +30,13 @@ import numpy as np
 
 
 def _to_numpy(t):
+    # ALWAYS copy: torch's .numpy() shares storage with the live
+    # parameter, and np.transpose returns a view — without a copy,
+    # in-place torch optimizer steps would silently mutate the
+    # converted flax parameters.
     if isinstance(t, np.ndarray):
-        return t
-    # torch.Tensor without importing torch at module scope
-    return t.detach().cpu().numpy()
+        return np.array(t, copy=True)
+    return np.array(t.detach().cpu().numpy(), copy=True)
 
 
 def _set_path(tree: Dict, path: Tuple[str, ...], value):
@@ -93,10 +96,12 @@ def convert_state_dict(state_dict, rename=None):
         if leaf == "weight":
             if value.ndim == 4:
                 _set_path(params, scope + ("kernel",),
-                          np.transpose(value, (2, 3, 1, 0)))
+                          np.ascontiguousarray(
+                              np.transpose(value, (2, 3, 1, 0))))
             elif value.ndim == 2:
                 _set_path(params, scope + ("kernel",),
-                          np.transpose(value, (1, 0)))
+                          np.ascontiguousarray(
+                              np.transpose(value, (1, 0))))
             elif value.ndim == 1:
                 # PReLU negative-slope vector
                 _set_path(params, scope + ("alpha",), value)

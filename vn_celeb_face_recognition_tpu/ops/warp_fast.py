@@ -32,35 +32,35 @@ from .image import invert_affine
 
 
 def _xshear(img, shifts, pad):
-    """out[y, :, x] = img(y, :, x + shifts[y]) with bilinear interp and
-    zero border; img [H, C, W] (W minor so lane tiling stays dense —
-    channels-minor layouts pad 3 -> 128 lanes, a 43x memory blowup),
-    shifts [H]. One contiguous dynamic_slice per row — no gathers."""
-    h, c, n = img.shape
-    padded = jnp.pad(img, ((0, 0), (0, 0), (pad, pad + 1)))
+    """out[y, x] = img(y, x + shifts[y]) with bilinear interp and zero
+    border; img [H, W] SINGLE-CHANNEL (channels ride the vmapped batch
+    axis — any layout that puts the 3-wide channel dim on the 128-lane
+    axis inflates memory 43x, which OOM'd compiles), shifts [H]. One
+    contiguous dynamic_slice per row — no gathers."""
+    h, n = img.shape
+    padded = jnp.pad(img, ((0, 0), (pad, pad + 1)))
     k = jnp.floor(shifts)
-    f = (shifts - k)[:, None, None]
+    f = (shifts - k)[:, None]
     k = jnp.clip(k.astype(jnp.int32), -pad, pad)
 
     def row(r, kk):
-        return jax.lax.dynamic_slice(r, (0, kk + pad), (c, n + 1))
+        return jax.lax.dynamic_slice(r, (kk + pad,), (n + 1,))
 
-    rows = jax.vmap(row)(padded, k)  # [H, C, n+1]
-    return rows[:, :, :n] * (1.0 - f) + rows[:, :, 1:] * f
+    rows = jax.vmap(row)(padded, k)  # rows[y, x] = img[y, x + k[y]]
+    return rows[:, :n] * (1.0 - f) + rows[:, 1:] * f
 
 
 def _rot_quadrant(img, k):
-    """Sampling-space k*90-degree rotation of a square image in
-    [H, C, W] layout: returns img_k with
-    img_k(q) = img(R(k*pi/2)(q - c) + c)."""
-    swap = lambda x: jnp.swapaxes(x, 0, 2)
+    """Sampling-space k*90-degree rotation of a square [H, W] image:
+    returns img_k with img_k(q) = img(R(k*pi/2)(q - c) + c)."""
+    swap = lambda x: jnp.swapaxes(x, 0, 1)
     return jax.lax.switch(
         k,
         [
             lambda x: x,
             lambda x: jnp.flip(swap(x), axis=0),
-            lambda x: jnp.flip(x, axis=(0, 2)),
-            lambda x: jnp.flip(swap(x), axis=2),
+            lambda x: jnp.flip(x, axis=(0, 1)),
+            lambda x: jnp.flip(swap(x), axis=1),
         ],
         img,
     )
@@ -74,47 +74,33 @@ def _hat_matrix(positions, in_size):
     return w
 
 
-def similarity_warp(window, m, out_size, pad=None):
-    """Warp a square window [N, N, C] by the forward similarity ``m``
-    ([2,3], src->dst as produced by the Umeyama solve), producing
-    [out_size, out_size, C], zero border — gather-free.
-    """
-    n = window.shape[0]
+def _similarity_warp_gray(img2d, m, out_size, pad):
+    """Single-channel [N, N] warp (see :func:`similarity_warp`)."""
+    n = img2d.shape[0]
     c = (n - 1) / 2.0
-    if pad is None:
-        # worst-case |shift| over the shear passes at |phi|<=45deg
-        # (beta pass: sin(45deg) * n/2)
-        pad = int(0.36 * n) + 2
 
     a_mat = invert_affine(m)  # sample coords = A p + t
     s = jnp.sqrt(a_mat[0, 0] ** 2 + a_mat[1, 0] ** 2)
     phi = jnp.arctan2(a_mat[1, 0], a_mat[0, 0])
     t = a_mat[:, 2]
 
-    # internal layout [H, C, W]: W rides the 128-lane dim densely
-    img_cf = jnp.transpose(window, (0, 2, 1))
-
     # quadrant reduction
     k = jnp.round(phi / (jnp.pi / 2)).astype(jnp.int32) % 4
     phi_r = phi - jnp.round(phi / (jnp.pi / 2)) * (jnp.pi / 2)
-    img_k = _rot_quadrant(img_cf, k)
+    img_k = _rot_quadrant(img2d, k)
 
     # Paeth 3-shear rotation about the centre (sampling maps compose:
     # X(alpha) Y(beta) X(alpha) == R(phi_r))
     alpha = -jnp.tan(phi_r / 2.0)
     beta = jnp.sin(phi_r)
     ys = jnp.arange(n, dtype=jnp.float32) - c
-    xs = jnp.arange(n, dtype=jnp.float32) - c
 
     buf = _xshear(img_k, alpha * ys, pad)
-    # y-shear == x-shear with the H and W axes swapped
-    buf = jnp.swapaxes(
-        _xshear(jnp.swapaxes(buf, 0, 2), beta * xs, pad), 0, 2
-    )
-    rot = _xshear(buf, alpha * ys, pad)  # [n, C, n]
+    buf = _xshear(buf.T, beta * ys, pad).T  # y-shear == transposed x
+    rot = _xshear(buf, alpha * ys, pad)  # [n, n]
 
-    # axis-aligned scale + translate: q = s*p + u
-    # u = c + R(-phi)(t - c_vec); with R(-phi) applied to (t - c)
+    # axis-aligned scale + translate: q = s*p + u,
+    # u = c + R(-phi)(t - c_vec)
     cosr, sinr = jnp.cos(phi), jnp.sin(phi)
     dx, dy = t[0] - c, t[1] - c
     ux = c + cosr * dx + sinr * dy
@@ -122,14 +108,40 @@ def similarity_warp(window, m, out_size, pad=None):
     o = jnp.arange(out_size, dtype=jnp.float32)
     ry = _hat_matrix(s * o + uy, n)  # rows
     rx = _hat_matrix(s * o + ux, n)  # cols
-    tmp = jnp.einsum("pw,hcw->hcp", rx, rot)
-    out = jnp.einsum("oh,hcp->ocp", ry, tmp)
-    return jnp.transpose(out, (0, 2, 1))  # [out, out, C]
+    return ry @ rot @ rx.T
+
+
+def similarity_warp(window, m, out_size, pad=None):
+    """Warp a square window [N, N, C] by the forward similarity ``m``
+    ([2,3], src->dst as produced by the Umeyama solve), producing
+    [out_size, out_size, C], zero border — gather-free. Channels are
+    folded into the batch axis so every shear buffer is a dense-tiled
+    rank<=3 [batch, H, W] tensor.
+    """
+    n, _, ch = window.shape
+    if pad is None:
+        # worst-case |shift| over the shear passes at |phi|<=45deg
+        # (beta pass: sin(45deg) * n/2)
+        pad = int(0.36 * n) + 2
+    planes = jnp.transpose(window, (2, 0, 1))  # [C, N, N]
+    out = jax.vmap(
+        lambda p: _similarity_warp_gray(p, m, out_size, pad)
+    )(planes)
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def batched_similarity_warp(windows, mats, out_size):
-    """vmapped :func:`similarity_warp` over a padded face set:
-    windows [K, N, N, C], mats [K, 2, 3] -> [K, out, out, C]."""
-    return jax.vmap(
-        lambda wdw, m: similarity_warp(wdw, m, out_size)
-    )(windows, mats)
+    """Batched warp over a padded face set: windows [K, N, N, C], mats
+    [K, 2, 3] -> [K, out, out, C]. Channels fold into the vmapped
+    batch axis ([K*C, N, N] internally) to keep (H, W) on the dense
+    tile dims."""
+    k, n, _, ch = windows.shape
+    pad = int(0.36 * n) + 2
+    planes = jnp.transpose(windows, (0, 3, 1, 2)).reshape(k * ch, n, n)
+    mats_rep = jnp.repeat(mats, ch, axis=0)
+    out = jax.vmap(
+        lambda p, m: _similarity_warp_gray(p, m, out_size, pad)
+    )(planes, mats_rep)
+    return jnp.transpose(
+        out.reshape(k, ch, out_size, out_size), (0, 2, 3, 1)
+    )
