@@ -72,3 +72,35 @@ def test_fused_engine_end_to_end(rng):
     results = engine.identify(out, df, 1.1)
     for names, _ in results:
         assert all(n == "Unknown" for n in names)
+
+
+def test_fused_engine_with_retinaface(rng):
+    """Engine generality: RetinaFace supplies the detector contract.
+    Random weights find nothing — the padded plumbing must still run
+    and produce all-invalid outputs."""
+    from vn_celeb_face_recognition_tpu.models import MLPModel, RetinaFace
+    import flax.linen as nn
+
+    class TinyEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            return nn.Dense(512)(jnp.mean(x, axis=(1, 2)))
+
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    det = RetinaFace(backbone_cfg="cfg_mnet", nms_cap=64, vis_thres=0.99)
+    enc = TinyEnc()
+    key = jax.random.PRNGKey(0)
+    enc_vars = enc.init(key, jnp.zeros((1, 112, 112, 3)))
+    clf = MLPModel(input_dim=512, num_classes=4)
+    clf_vars = clf.init(key, jnp.zeros((1, 512)))
+    engine = FusedRecognitionEngine(det, enc, enc_vars, clf, clf_vars,
+                                    target_fs=112)
+    frames = rng.integers(0, 255, size=(2, 128, 128, 3)).astype(np.uint8)
+    out = jax.device_get(engine.process(frames))
+    assert out["boxes"].shape == (2, 16, 4)
+    assert out["pred"].shape == (2, 16)
+    assert np.isfinite(out["prob"]).all()

@@ -293,6 +293,7 @@ class RetinaFace:
         self.nms_thres = nms_thres
         self.vis_thres = vis_thres
         self.nms_cap = min(nms_cap, topk_bf_nms)
+        self.out_cap = 16  # fused-engine per-frame face capacity
         self.channels_subtract = (104.0, 117.0, 123.0)
 
         self.net = RetinaFaceNet(
@@ -373,6 +374,29 @@ class RetinaFace:
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_infer_fn(h, w)
         return self._jit_cache[key](self.variables, imgs_u8)
+
+    def _build_detect_fn(self, batch, h, w, out_cap=None):
+        """MTCNN-compatible cascade contract for the fused engine:
+        (variables, frames_u8) -> (boxes [B,K,4], scores [B,K], points
+        [B,K,5,2], valid [B,K]) with K = out_cap top detections above
+        vis_thres."""
+        from ..ops import boxes as B
+
+        out_cap = out_cap or self.out_cap
+        infer = self._build_infer_fn(h, w)
+        vis = self.vis_thres
+
+        def detect(variables, imgs_u8):
+            boxes, scores, pts, valid = infer(variables, imgs_u8)
+            valid = valid & (scores >= vis)
+
+            def cap(bx, sc, pt, vl):
+                idx, still = B.top_k_select(sc, vl, out_cap)
+                return bx[idx], sc[idx], pt[idx], still
+
+            return jax.vmap(cap)(boxes, scores, pts, valid)
+
+        return jax.jit(detect)
 
     def inference(self, rgb_images, landmark=True):
         """Reference retina_face.py:154-232 API: list of RGB images in,

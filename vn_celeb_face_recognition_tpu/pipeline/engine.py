@@ -27,7 +27,15 @@ import numpy as np
 from ..ops.image import fixed_image_standardization
 from ..ops.similarity import umeyama_similarity
 from ..ops.warp_fast import batched_similarity_warp
+from ..ops.warp_pallas import batched_similarity_warp_pallas
 from .align import center_point_dict
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
 
 
 class FusedRecognitionEngine:
@@ -45,7 +53,8 @@ class FusedRecognitionEngine:
 
     def __init__(self, detector, encoder, encoder_variables, classifier,
                  classifier_variables, target_fs=112,
-                 compute_dtype=jnp.float32, face_window=224):
+                 compute_dtype=jnp.float32, face_window=224,
+                 use_pallas_warp=None):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -60,6 +69,11 @@ class FusedRecognitionEngine:
         # contiguous dynamic_slice — bilinear gathers then read a small
         # local buffer instead of striding the whole frame
         self.face_window = int(face_window)
+        # the Pallas warp kernel is ~4x the XLA shear formulation on
+        # TPU; on CPU it would run interpreted, so default off there
+        self.use_pallas_warp = (
+            _on_tpu() if use_pallas_warp is None else use_pallas_warp
+        )
         self._jit_cache = {}
         # keep detector weights resident on device (numpy inputs would
         # re-upload per call)
@@ -107,9 +121,13 @@ class FusedRecognitionEngine:
             mats = jax.vmap(
                 lambda lm: umeyama_similarity(lm, template)
             )(local_pts)
-            # gather-free shear/matmul warp (ops/warp_fast) — the exact
-            # gather warp costs ~1000x more on TPU
-            faces = batched_similarity_warp(windows, mats, fs)
+            # gather-free shear/matmul warp — the exact gather warp
+            # costs ~1000x more on TPU; the Pallas kernel keeps the
+            # shear buffers VMEM-resident
+            if self.use_pallas_warp:
+                faces = batched_similarity_warp_pallas(windows, mats, fs)
+            else:
+                faces = batched_similarity_warp(windows, mats, fs)
             x = fixed_image_standardization(faces).astype(cdtype)
             emb = encoder.apply(enc_vars, x, train=False)
             emb = emb.astype(jnp.float32)
@@ -131,9 +149,11 @@ class FusedRecognitionEngine:
         return jax.jit(run)
 
     def process(self, frames_u8):
-        """frames_u8: numpy [B, H, W, 3]. Returns device outputs dict
-        (call jax.device_get / .block_until_ready as needed)."""
-        frames_u8 = np.ascontiguousarray(frames_u8)
+        """frames_u8: numpy or device array [B, H, W, 3]. Returns device
+        outputs dict (call jax.device_get / .block_until_ready as
+        needed). Device-resident inputs skip the host copy."""
+        if not isinstance(frames_u8, jax.Array):
+            frames_u8 = np.ascontiguousarray(frames_u8)
         b, h, w = frames_u8.shape[:3]
         key = (b, h, w)
         if key not in self._jit_cache:
