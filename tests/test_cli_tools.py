@@ -144,3 +144,26 @@ def test_mtcnn_forward_extract(tmp_path):
     # post-processed: fixed standardisation range
     assert -1.1 <= float(faces.min()) and float(faces.max()) <= 1.1
     assert boxes.shape == (1, 4)
+
+
+def test_download_url_to_file(tmp_path):
+    """sha256-prefix verified download over a file:// URL."""
+    import hashlib
+
+    from vn_celeb_face_recognition_tpu.utils.download import (
+        download_url_to_file,
+    )
+
+    src = tmp_path / "weights.bin"
+    payload = b"fake weights " * 1000
+    src.write_bytes(payload)
+    digest = hashlib.sha256(payload).hexdigest()[:8]
+
+    dst = tmp_path / f"model-{digest}.bin"
+    download_url_to_file(src.as_uri(), str(dst), progress=False)
+    assert dst.read_bytes() == payload
+
+    bad_dst = tmp_path / "model-deadbeef.bin"
+    with pytest.raises(RuntimeError):
+        download_url_to_file(src.as_uri(), str(bad_dst), progress=False)
+    assert not bad_dst.exists()

@@ -104,3 +104,59 @@ def test_fused_engine_with_retinaface(rng):
     assert out["boxes"].shape == (2, 16, 4)
     assert out["pred"].shape == (2, 16)
     assert np.isfinite(out["prob"]).all()
+
+
+def test_fused_engine_emotion_head(rng):
+    """Optional emotion branch: top-k indices/probs per padded face
+    slot, fused into the same program."""
+    import flax.linen as nn
+
+    from vn_celeb_face_recognition_tpu.models import MLPModel, MTCNN
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+    import glob
+
+    from PIL import Image
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    face = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((120, 120))
+    )
+
+    class TinyEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            return nn.Dense(512)(jnp.mean(x, axis=(1, 2)))
+
+    class TinyEmotion(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.Conv(8, (7, 7), strides=(8, 8))(x)
+            h = jnp.mean(h, axis=(1, 2))
+            return nn.Dense(12, name="fc")(h), nn.Dense(5, name="proj")(h)
+
+    key = jax.random.PRNGKey(0)
+    det = MTCNN(min_face_size=40, keep_all=True, pnet_cap_per_scale=128,
+                rnet_cap=64, onet_cap=32, out_cap=4)
+    enc = TinyEnc(); ev = enc.init(key, jnp.zeros((1, 112, 112, 3)))
+    clf = MLPModel(input_dim=512, num_classes=6)
+    cv = clf.init(key, jnp.zeros((1, 512)))
+    emt = TinyEmotion(); emv = emt.init(key, jnp.zeros((1, 224, 224, 3)))
+
+    engine = FusedRecognitionEngine(
+        det, enc, ev, clf, cv, target_fs=112, emotion=emt,
+        emotion_variables=emv, emotion_topk=3,
+    )
+    frames = np.full((1, 224, 224, 3), 90, dtype=np.uint8)
+    frames[0, 40:160, 50:170] = face
+    out = jax.device_get(engine.process(frames))
+    assert out["emotion_idx"].shape == (1, 4, 3)
+    assert out["emotion_prob"].shape == (1, 4, 3)
+    # probs sorted descending, within [0, 1]
+    ep = out["emotion_prob"][0, 0]
+    assert (np.diff(ep) <= 1e-6).all()
+    assert (ep >= 0).all() and (ep <= 1).all()

@@ -54,7 +54,9 @@ class FusedRecognitionEngine:
     def __init__(self, detector, encoder, encoder_variables, classifier,
                  classifier_variables, target_fs=112,
                  compute_dtype=jnp.float32, face_window=224,
-                 use_pallas_warp=None):
+                 use_pallas_warp=None, emotion=None,
+                 emotion_variables=None, emotion_size=224,
+                 emotion_topk=6):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -74,6 +76,13 @@ class FusedRecognitionEngine:
         self.use_pallas_warp = (
             _on_tpu() if use_pallas_warp is None else use_pallas_warp
         )
+        # optional fused emotion head (reference recognize_emotion:
+        # aligned face -> resize 224 -> ImageNet norm -> 2-branch net
+        # -> top-k classes + softmax probs)
+        self.emotion = emotion
+        self.emotion_variables = emotion_variables
+        self.emotion_size = int(emotion_size)
+        self.emotion_topk = int(emotion_topk)
         self._jit_cache = {}
         # keep detector weights resident on device (numpy inputs would
         # re-upload per call)
@@ -92,6 +101,10 @@ class FusedRecognitionEngine:
 
         win = self.face_window
         win = min(win, h, w)
+        emotion = self.emotion
+        emotion_vars = self.emotion_variables
+        emotion_size = self.emotion_size
+        emotion_topk = self.emotion_topk
 
         def run(det_vars, enc_vars, clf_vars, frames_u8):
             boxes, score, points, valid = raw_detect(det_vars, frames_u8)
@@ -136,7 +149,7 @@ class FusedRecognitionEngine:
             prob = jnp.exp(
                 jnp.take_along_axis(logp, pred[:, None], axis=-1)[:, 0]
             )
-            return {
+            out = {
                 "boxes": boxes,
                 "scores": score,
                 "points": points,
@@ -145,6 +158,18 @@ class FusedRecognitionEngine:
                 "prob": prob.reshape(b, k),
                 "embeddings": emb.reshape(b, k, -1),
             }
+            if emotion is not None:
+                from ..ops.image import area_resize, imagenet_normalize
+
+                ex = area_resize(faces, (emotion_size, emotion_size))
+                ex = imagenet_normalize(ex / 255.0).astype(cdtype)
+                logits, _ = emotion.apply(emotion_vars, ex, train=False)
+                logits = logits.astype(jnp.float32)
+                eprob = jax.nn.softmax(logits, axis=-1)
+                top_p, top_idx = jax.lax.top_k(eprob, emotion_topk)
+                out["emotion_idx"] = top_idx.reshape(b, k, emotion_topk)
+                out["emotion_prob"] = top_p.reshape(b, k, emotion_topk)
+            return out
 
         return jax.jit(run)
 

@@ -32,7 +32,7 @@ def download_url_to_file(url, dst, hash_prefix=None, progress=True):
     try:
         with urllib.request.urlopen(url) as response, \
                 open(tmp_path, "wb") as fp:
-            total = response.length
+            total = getattr(response, "length", None)
             read = 0
             while True:
                 chunk = response.read(1 << 20)
