@@ -288,3 +288,34 @@ def test_celeb_statistic_end_to_end(face_image, pipeline_files,
     tracker_json.unlink()
     celeb_statistic.main()
     assert tracker_json.exists()
+
+
+@pytest.mark.slow
+def test_demo_image_with_emotion(face_image, pipeline_files, tmp_path):
+    """--recog_emotion path: emotion model loads from cfg, top-k tags
+    map through the idx2key pickle and draw onto the output."""
+    import cv2
+
+    import demo_image
+
+    emt_cfg = tmp_path / "emt.json"
+    emt_cfg.write_text(json.dumps({"pretrained": False,
+                                   "num_classes": 690,
+                                   "checkpoint_path": None}))
+    img_path = str(tmp_path / "in.png")
+    out_path = str(tmp_path / "out_emt.png")
+    cv2.imwrite(img_path, cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR))
+
+    args = make_args(
+        pipeline_files,
+        image_path=img_path,
+        output_path=out_path,
+        recog_threshold=0.0,
+        recog_emotion=True,
+        emotion_args=str(emt_cfg),
+        etag2idx_file="meta_data/emotion_recognition/etag2idx.pkl",
+        topk_emotions=3,
+    )
+    names, boxes = demo_image.main(args)
+    assert os.path.exists(out_path)
+    assert len(names) == 1

@@ -13,7 +13,7 @@ Semantics matched to the reference's torch modules:
     (/root/reference/models/inception_resnet_v1.py:12-33).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import flax.linen as nn

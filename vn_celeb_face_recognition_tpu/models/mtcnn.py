@@ -556,10 +556,15 @@ class MTCNN:
     def extract(self, img, batch_boxes, save_path=None):
         """Crop faces to image_size with margin (mtcnn.py:458-509),
         returning float arrays [n, S, S, 3] (standardised when
-        post_process=True)."""
+        post_process=True). ``save_path`` writes the UN-standardised
+        crops; extra faces get a ``_<i>`` suffix like the reference."""
         imgs, batch_mode = self._as_batch(img)
         if not batch_mode:
             batch_boxes = [batch_boxes]
+        if save_path is not None and isinstance(save_path, str):
+            save_path = [save_path]
+        if save_path is None:
+            save_path = [None] * imgs.shape[0]
         faces = []
         for i, box_im in enumerate(batch_boxes):
             if box_im is None or len(box_im) == 0:
@@ -569,10 +574,24 @@ class MTCNN:
             if not self.keep_all:
                 box_im = box_im[[0]]
             face_list = []
-            for box in box_im:
+            for j, box in enumerate(box_im):
                 face = extract_face(
                     imgs[i], box, self.image_size, self.margin
                 )
+                path_im = save_path[i]
+                if path_im is not None:
+                    if j > 0:
+                        stem, ext = os.path.splitext(path_im)
+                        path_im = f"{stem}_{j + 1}{ext}"
+                    from PIL import Image
+
+                    os.makedirs(
+                        os.path.dirname(os.path.abspath(path_im)),
+                        exist_ok=True,
+                    )
+                    Image.fromarray(
+                        np.clip(face, 0, 255).astype(np.uint8)
+                    ).save(path_im)
                 if self.post_process:
                     face = (face - 127.5) / 128.0
                 face_list.append(face)
@@ -593,7 +612,10 @@ class MTCNN:
                 batch_boxes, batch_probs, batch_points, img,
                 method=self.selection_method,
             )
-        faces = self.extract(img, batch_boxes) if extract_face_flag else None
+        faces = (
+            self.extract(img, batch_boxes, save_path)
+            if extract_face_flag else None
+        )
         if return_prob:
             return faces, batch_boxes, batch_probs
         return faces, batch_boxes

@@ -42,7 +42,7 @@ def _padded_width(n, pad):
 
 
 def _warp_kernel(params_ref, plane_ref, out_ref, buf_a, buf_b, *,
-                 n, ch, out_size, pad):
+                 n, ch, out_size, pad, dtype):
     i = pl.program_id(0)
     alpha = params_ref[i, 0]
     beta = params_ref[i, 1]
@@ -62,7 +62,7 @@ def _warp_kernel(params_ref, plane_ref, out_ref, buf_a, buf_b, *,
         def row(y, _):
             sh = coeff * (y.astype(jnp.float32) - c)
             k = jnp.floor(sh)
-            f = sh - k
+            f = (sh - k).astype(dtype)
             k = jnp.clip(k.astype(jnp.int32), -pad, pad)
             r = src_ref[:, y, :]  # [C, Wp]
             r0 = pltpu.roll(r, jnp.mod(-k, np_w), axis=1)
@@ -75,9 +75,9 @@ def _warp_kernel(params_ref, plane_ref, out_ref, buf_a, buf_b, *,
         jax.lax.fori_loop(0, n, row, 0)
 
     # zero both scratch buffers once (borders stay zero)
-    buf_a[...] = jnp.zeros((ch, n, np_w), jnp.float32)
-    buf_b[...] = jnp.zeros((ch, n, np_w), jnp.float32)
-    buf_a[:, :, lo:lo + n] = img
+    buf_a[...] = jnp.zeros((ch, n, np_w), dtype)
+    buf_b[...] = jnp.zeros((ch, n, np_w), dtype)
+    buf_a[:, :, lo:lo + n] = img.astype(dtype)
 
     # pass 1: x-shear
     shear_pass(buf_a, buf_b, alpha)
@@ -97,12 +97,12 @@ def _warp_kernel(params_ref, plane_ref, out_ref, buf_a, buf_b, *,
     i2 = jax.lax.broadcasted_iota(
         jnp.int32, (out_size, n), 1
     ).astype(jnp.float32)
-    ry = jnp.maximum(0.0, 1.0 - jnp.abs(s * o + uy - i2))
-    rx = jnp.maximum(0.0, 1.0 - jnp.abs(s * o + ux - i2))
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(s * o + uy - i2)).astype(dtype)
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(s * o + ux - i2)).astype(dtype)
     # per-channel MXU matmuls (ch is tiny and static)
     for cc in range(ch):
         t = jnp.dot(ry, rot[cc], preferred_element_type=jnp.float32)
-        out_ref[0, cc] = jnp.dot(t, rx.T,
+        out_ref[0, cc] = jnp.dot(t.astype(dtype), rx.T,
                                  preferred_element_type=jnp.float32)
 
 
@@ -121,11 +121,13 @@ def _plane_params(mats):
 
 
 def batched_similarity_warp_pallas(windows, mats, out_size,
-                                   interpret=False):
-    """windows [K, N, N, C], mats [K, 2, 3] -> [K, out, out, C].
+                                   interpret=False, dtype=jnp.float32):
+    """windows [K, N, N, C], mats [K, 2, 3] -> [K, out, out, C] f32.
 
     Drop-in for ops.warp_fast.batched_similarity_warp, running the
-    Pallas kernel (or its interpreter on CPU).
+    Pallas kernel (or its interpreter on CPU). ``dtype`` selects the
+    shear-buffer precision: bfloat16 halves VMEM traffic with sub-level
+    pixel error (uint8 inputs are exact in bf16; only the lerp rounds).
     """
     k, n, _, ch = windows.shape
     pad = int(0.36 * n) + 2
@@ -164,7 +166,7 @@ def batched_similarity_warp_pallas(windows, mats, out_size,
 
     np_w = _padded_width(n, pad)
     kernel = functools.partial(_warp_kernel, n=n, ch=ch,
-                               out_size=out_size, pad=pad)
+                               out_size=out_size, pad=pad, dtype=dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k,),
@@ -176,8 +178,8 @@ def batched_similarity_warp_pallas(windows, mats, out_size,
                                lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((ch, n, np_w), jnp.float32),
-            pltpu.VMEM((ch, n, np_w), jnp.float32),
+            pltpu.VMEM((ch, n, np_w), dtype),
+            pltpu.VMEM((ch, n, np_w), dtype),
         ],
     )
     out = pl.pallas_call(
