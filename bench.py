@@ -81,7 +81,7 @@ def main():
 
     detector = MTCNN(min_face_size=50, keep_all=True,
                      pnet_cap_per_scale=256, rnet_cap=128, onet_cap=64,
-                     out_cap=8)
+                     out_cap=8, dtype=jnp.bfloat16)
     encoder = InceptionResnetV1()
     key = jax.random.PRNGKey(0)
     enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))

@@ -298,6 +298,18 @@ class MTCNN:
         k3 = self.onet_cap
         kout = self.out_cap
         pnet, rnet, onet = self.pnet, self.rnet, self.onet
+        cdtype = self.dtype  # compute dtype for resizes + nets; box
+        # math and scores stay f32
+
+        def net_apply(net, var, x):
+            if cdtype != jnp.float32:
+                var = jax.tree_util.tree_map(
+                    lambda a: a.astype(cdtype), var
+                )
+            out = net.apply(var, x.astype(cdtype))
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), out
+            )
 
         def detect(variables, imgs_u8):
             imgs = imgs_u8.astype(jnp.float32)
@@ -307,8 +319,10 @@ class MTCNN:
             for scale in scales:
                 hs = int(h * scale + 1)
                 ws = int(w * scale + 1)
-                im = area_resize(imgs, (hs, ws))
-                reg, probs = pnet.apply(variables["pnet"], _normalize(im))
+                im = area_resize(imgs.astype(cdtype), (hs, ws))
+                reg, probs = net_apply(
+                    pnet, variables["pnet"], _normalize(im)
+                )
                 hc, wc = reg.shape[1], reg.shape[2]
                 boxes, score, reg, valid = _stage1_boxes(
                     probs[..., 1], reg, scale, hc, wc, thr[0]
@@ -363,8 +377,8 @@ class MTCNN:
             crop_boxes = B.clamp_boxes(boxes, w, h)
             crops = grouped_crop_area_resize(imgs, crop_boxes, 24)
             crops = crops.reshape(batch * k2, 24, 24, 3)
-            r_reg, r_prob = rnet.apply(variables["rnet"],
-                                       _normalize(crops))
+            r_reg, r_prob = net_apply(rnet, variables["rnet"],
+                                      _normalize(crops))
             r_score = r_prob[:, 1].reshape(batch, k2)
             r_reg = r_reg.reshape(batch, k2, 4)
             valid = valid & (r_score > thr[1])
@@ -383,8 +397,8 @@ class MTCNN:
             crop_boxes = B.clamp_boxes(boxes, w, h)
             crops = grouped_crop_area_resize(imgs, crop_boxes, 48)
             crops = crops.reshape(batch * k3, 48, 48, 3)
-            o_reg, o_landm, o_prob = onet.apply(
-                variables["onet"], _normalize(crops)
+            o_reg, o_landm, o_prob = net_apply(
+                onet, variables["onet"], _normalize(crops)
             )
             o_score = o_prob[:, 1].reshape(batch, k3)
             o_reg = o_reg.reshape(batch, k3, 4)

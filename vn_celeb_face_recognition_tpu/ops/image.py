@@ -58,8 +58,10 @@ def area_resize(images, out_hw):
         images = images[None]
     n, h, w, c = images.shape
     oh, ow = out_hw
-    wh = jnp.asarray(_area_weights(h, oh))
-    ww = jnp.asarray(_area_weights(w, ow))
+    # weights follow the input dtype so a bf16 pipeline stays bf16
+    # (f32 inputs keep the exact adaptive-pool fractions)
+    wh = jnp.asarray(_area_weights(h, oh)).astype(images.dtype)
+    ww = jnp.asarray(_area_weights(w, ow)).astype(images.dtype)
     out = jnp.einsum("oh,nhwc->nowc", wh, images)
     out = jnp.einsum("pw,nowc->nopc", ww, out)
     return out[0] if squeeze else out

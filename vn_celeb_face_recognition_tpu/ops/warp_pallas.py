@@ -4,23 +4,31 @@ The alignment warp is the pipeline's hot op. In plain XLA both
 formulations lose: per-pixel bilinear gathers serialise (~180 ms /
 128 faces), and vmapped per-row dynamic slices lower to row gathers
 (~1.4 s / 256 faces). This kernel runs ONE FACE (all channels) per
-grid step with every buffer VMEM-resident:
+grid step with every buffer VMEM-resident, using the SCALE-FIRST
+factorisation
+
+    out(p) = img_k( s R(phi_r) p + t' )
+           = CenterCrop112( Rotate_{phi_r}( M ) ),
+      M(q) = img_k( s q + t'' )   on a fixed 160x160 intermediate
 
   * quadrant pre-rotation (k * 90 deg) happens outside in XLA (dense
     flips; jnp.flip has no Pallas TPU lowering);
-  * Paeth 3-shear rotation — each shear pass is a fori over rows; the
-    variable row offset is TWO dynamic ROTATEs on a [C, Wp] tile
-    (Mosaic cannot prove alignment of lane-dim dynamic slices, but
-    tpu.dynamic_rotate takes any scalar amount) + 128-aligned static
-    slices + a 2-tap lerp. Channels share the row loop;
-  * the axis-aligned scale+translate tail as hat-matrix matmuls on the
-    MXU, built in-kernel from broadcasted iota.
+  * the pre-scale M is two hat-matrix matmuls on the MXU (built
+    in-kernel from iota + the per-face scalars);
+  * Paeth 3-shear rotation of the FIXED-SIZE M — each pass is a fori
+    over 160 rows doing one integer dynamic ROTATE (Mosaic cannot
+    prove alignment of lane-dim dynamic slices, but tpu.dynamic_rotate
+    takes any scalar amount) + a 128-aligned static store; the
+    FRACTIONAL part of each shear is applied afterwards as one
+    plane-wide lerp against a static single-lane roll;
+  * the final centred 112 crop is a one-hot matmul (static unaligned
+    lane slices are also rejected by Mosaic).
 
 Buffers keep the image axes on the (sublane, lane) dims — the 3-wide
 channel axis must never reach the 128-lane dim (43x padding blowup).
 
 Per-face parameters arrive via one [K, 8] scalar-prefetch row:
-(alpha, beta, quadrant k, scale s, ux, uy, pad, pad).
+(alpha, beta, quadrant k, scale s, t''x, t''y, valid, pad).
 """
 
 import functools
@@ -33,16 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .image import invert_affine
 
+_M = 160          # intermediate (rotation) buffer size
+_LO = 128         # aligned interior start lane
+_DELTA = (_M - 112) / 2.0  # centred-crop offset for a 112 output
 
-def _padded_width(n, pad):
-    """Interior at lane 128, right margin >= pad+1, total a multiple
-    of 128 (Mosaic alignment)."""
-    need = 128 + n + pad + 1
+
+def _padded_width(m, pad):
+    need = _LO + m + pad + 1
     return -(-need // 128) * 128
 
 
-def _warp_kernel(params_ref, plane_ref, out_ref, buf_a, buf_b, *,
-                 n, ch, out_size, pad, dtype):
+def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
+                 n, ch, out_size, pad):
     i = pl.program_id(0)
     alpha = params_ref[i, 0]
     beta = params_ref[i, 1]
@@ -50,64 +60,83 @@ def _warp_kernel(params_ref, plane_ref, out_ref, buf_a, buf_b, *,
     ux = params_ref[i, 4]
     uy = params_ref[i, 5]
 
-    c = (n - 1) / 2.0
-    img = plane_ref[0]  # [C, N, N] (already quadrant-rotated)
+    m = _M
+    cm = (m - 1) / 2.0
+    np_w = _padded_width(m, pad)
 
-    np_w = _padded_width(n, pad)
-    lo = 128
+    img = window_ref[0]  # [C, N, N] quadrant-rotated window
+
+    # ---- pre-scale to the 160x160 intermediate: M = Ry @ img @ Rx^T
+    o_m = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0).astype(
+        jnp.float32)
+    i_n = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).astype(
+        jnp.float32)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(s * o_m + uy - i_n))  # [m, n]
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(s * o_m + ux - i_n))
+
+    buf_a[...] = jnp.zeros((ch, m, np_w), jnp.float32)
+    buf_b[...] = jnp.zeros((ch, m, np_w), jnp.float32)
+    for cc in range(ch):
+        t = jnp.dot(ry, img[cc], preferred_element_type=jnp.float32)
+        buf_a[cc, :, _LO:_LO + m] = jnp.dot(
+            t, rx.T, preferred_element_type=jnp.float32
+        )
+
+    # ---- 3-shear rotation of the intermediate ----
+    ys_col = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+        jnp.float32) - cm
 
     def shear_pass(src_ref, dst_ref, coeff):
-        # dst[:, y, lo:lo+n] = src(:, y, x + coeff*(y - c)) bilinear,
-        # all channels in one [C, Wp] tile per row.
+        # integer part per row in the loop (interior write only so the
+        # zero margins stay clean for the next pass)...
         def row(y, _):
-            sh = coeff * (y.astype(jnp.float32) - c)
+            sh = coeff * (y.astype(jnp.float32) - cm)
             k = jnp.floor(sh)
-            f = (sh - k).astype(dtype)
             k = jnp.clip(k.astype(jnp.int32), -pad, pad)
             r = src_ref[:, y, :]  # [C, Wp]
             r0 = pltpu.roll(r, jnp.mod(-k, np_w), axis=1)
-            r1 = pltpu.roll(r0, np_w - 1, axis=1)
-            dst_ref[:, pl.ds(y, 1), lo:lo + n] = (
-                r0[:, lo:lo + n] * (1.0 - f) + r1[:, lo:lo + n] * f
-            )[:, None]
+            val = r0[:, _LO:_LO + m]  # [C, m]
+            dst_ref[:, pl.ds(y, 1), _LO:_LO + m] = val[:, None]
             return 0
 
-        jax.lax.fori_loop(0, n, row, 0)
+        jax.lax.fori_loop(0, m, row, 0)
+        # ...fractional part as ONE plane-wide lerp, interior only
+        sh_all = coeff * ys_col                      # [m, 1]
+        f = (sh_all - jnp.floor(sh_all))[None]       # [1, m, 1]
+        v = dst_ref[...]
+        v1 = pltpu.roll(v, np_w - 1, axis=2)
+        dst_ref[:, :, _LO:_LO + m] = (
+            v * (1.0 - f) + v1 * f
+        )[:, :, _LO:_LO + m]
 
-    # zero both scratch buffers once (borders stay zero)
-    buf_a[...] = jnp.zeros((ch, n, np_w), dtype)
-    buf_b[...] = jnp.zeros((ch, n, np_w), dtype)
-    buf_a[:, :, lo:lo + n] = img.astype(dtype)
-
-    # pass 1: x-shear
     shear_pass(buf_a, buf_b, alpha)
-    # pass 2: y-shear == x-shear on the transposed interior
-    buf_a[:, :, lo:lo + n] = jnp.swapaxes(buf_b[:, :, lo:lo + n], 1, 2)
+    # y-shear == x-shear on the transposed interior
+    buf_a[:, :, _LO:_LO + m] = jnp.swapaxes(
+        buf_b[:, :, _LO:_LO + m], 1, 2
+    )
     shear_pass(buf_a, buf_b, beta)
-    buf_a[:, :, lo:lo + n] = jnp.swapaxes(buf_b[:, :, lo:lo + n], 1, 2)
-    # pass 3: x-shear
+    buf_a[:, :, _LO:_LO + m] = jnp.swapaxes(
+        buf_b[:, :, _LO:_LO + m], 1, 2
+    )
     shear_pass(buf_a, buf_b, alpha)
-    rot = buf_b[:, :, lo:lo + n]  # [C, n, n]
+    rot = buf_b[:, :, _LO:_LO + m]  # [C, m, m]
 
-    # scale+translate tail: out[c] = Ry @ rot[c] @ Rx^T (hat matrices;
-    # iota must be integer-typed on TPU)
-    o = jax.lax.broadcasted_iota(
-        jnp.int32, (out_size, n), 0
-    ).astype(jnp.float32)
-    i2 = jax.lax.broadcasted_iota(
-        jnp.int32, (out_size, n), 1
-    ).astype(jnp.float32)
-    ry = jnp.maximum(0.0, 1.0 - jnp.abs(s * o + uy - i2)).astype(dtype)
-    rx = jnp.maximum(0.0, 1.0 - jnp.abs(s * o + ux - i2)).astype(dtype)
-    # per-channel MXU matmuls (ch is tiny and static)
+    # ---- centred 112 crop via one-hot matmuls (aligned-slice-free)
+    o_c = jax.lax.broadcasted_iota(jnp.int32, (out_size, m), 0).astype(
+        jnp.float32)
+    i_m = jax.lax.broadcasted_iota(jnp.int32, (out_size, m), 1).astype(
+        jnp.float32)
+    crop = jnp.where(
+        jnp.abs(o_c + _DELTA - i_m) < 0.5, 1.0, 0.0
+    )  # [out, m]
     for cc in range(ch):
-        t = jnp.dot(ry, rot[cc], preferred_element_type=jnp.float32)
-        out_ref[0, cc] = jnp.dot(t.astype(dtype), rx.T,
+        t = jnp.dot(crop, rot[cc], preferred_element_type=jnp.float32)
+        out_ref[0, cc] = jnp.dot(t, crop.T,
                                  preferred_element_type=jnp.float32)
 
 
 def _plane_params(mats):
-    """[K, 2, 3] similarity mats -> per-face kernel parameters."""
+    """[K, 2, 3] similarity mats -> per-face scalars."""
     def one(m):
         a_mat = invert_affine(m)
         s = jnp.sqrt(a_mat[0, 0] ** 2 + a_mat[1, 0] ** 2)
@@ -121,23 +150,35 @@ def _plane_params(mats):
 
 
 def batched_similarity_warp_pallas(windows, mats, out_size,
-                                   interpret=False, dtype=jnp.float32):
+                                   interpret=False):
     """windows [K, N, N, C], mats [K, 2, 3] -> [K, out, out, C] f32.
 
     Drop-in for ops.warp_fast.batched_similarity_warp, running the
-    Pallas kernel (or its interpreter on CPU). ``dtype`` selects the
-    shear-buffer precision: bfloat16 halves VMEM traffic with sub-level
-    pixel error (uint8 inputs are exact in bf16; only the lerp rounds).
+    Pallas kernel (or its interpreter on CPU). out_size must be 112
+    (the centred-crop constant matches the 160 intermediate).
     """
+    assert out_size == 112, "kernel is specialised to 112 outputs"
     k, n, _, ch = windows.shape
-    pad = int(0.36 * n) + 2
-    c = (n - 1) / 2.0
+    # shear shifts on the 160 intermediate: |alpha| <= tan(22.5deg),
+    # |beta| <= sin(45deg) -> max |shift| = 0.7071 * 80 ~= 57
+    pad = int(0.36 * _M) + 2
 
     phi, phi_r, kq, s, tx, ty = _plane_params(mats)
-    cosr, sinr = jnp.cos(phi), jnp.sin(phi)
-    dx, dy = tx - c, ty - c
-    ux = c + cosr * dx + sinr * dy
-    uy = c - sinr * dx + cosr * dy
+    # scale-then-rotate translation:
+    # t' = R(-k pi/2)(t - c_w) + c_w   (quadrant fold)
+    # t'' = t' - s R(phi_r) (delta - c_m) - s c_m
+    c_w = (n - 1) / 2.0
+    cm = (_M - 1) / 2.0
+    cosk = jnp.cos(-kq * (jnp.pi / 2))
+    sink = jnp.sin(-kq * (jnp.pi / 2))
+    dxw, dyw = tx - c_w, ty - c_w
+    tpx = cosk * dxw - sink * dyw + c_w
+    tpy = sink * dxw + cosk * dyw + c_w
+    cosr, sinr = jnp.cos(phi_r), jnp.sin(phi_r)
+    dmx = _DELTA - cm
+    dmy = _DELTA - cm
+    ux = tpx - s * (cosr * dmx - sinr * dmy) - s * cm
+    uy = tpy - s * (sinr * dmx + cosr * dmy) - s * cm
     alpha = -jnp.tan(phi_r / 2.0)
     beta = jnp.sin(phi_r)
 
@@ -148,25 +189,25 @@ def batched_similarity_warp_pallas(windows, mats, out_size,
     )  # [K, 8]
     planes = jnp.transpose(windows, (0, 3, 1, 2))  # [K, C, N, N]
 
-    # quadrant pre-rotation in XLA (dense flips/transposes)
+    # quadrant pre-rotation in XLA: dense flips/transposes blended by a
+    # one-hot select (take_along_axis would lower to a whole-stack
+    # gather, which costs ~300ms at this size)
     kq_i = kq.astype(jnp.int32)
     swap = jnp.swapaxes(planes, 2, 3)
-    rot_variants = jnp.stack(
-        [
-            planes,
-            jnp.flip(swap, axis=2),
-            jnp.flip(planes, axis=(2, 3)),
-            jnp.flip(swap, axis=3),
-        ],
-        axis=0,
+    variants = [
+        planes,
+        jnp.flip(swap, axis=2),
+        jnp.flip(planes, axis=(2, 3)),
+        jnp.flip(swap, axis=3),
+    ]
+    onehot = jax.nn.one_hot(kq_i, 4, dtype=planes.dtype)  # [K, 4]
+    planes = sum(
+        onehot[:, q, None, None, None] * variants[q] for q in range(4)
     )
-    planes = jnp.take_along_axis(
-        rot_variants, kq_i[None, :, None, None, None], axis=0
-    )[0]
 
-    np_w = _padded_width(n, pad)
+    np_w = _padded_width(_M, pad)
     kernel = functools.partial(_warp_kernel, n=n, ch=ch,
-                               out_size=out_size, pad=pad, dtype=dtype)
+                               out_size=out_size, pad=pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k,),
@@ -178,8 +219,8 @@ def batched_similarity_warp_pallas(windows, mats, out_size,
                                lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((ch, n, np_w), dtype),
-            pltpu.VMEM((ch, n, np_w), dtype),
+            pltpu.VMEM((ch, _M, np_w), jnp.float32),
+            pltpu.VMEM((ch, _M, np_w), jnp.float32),
         ],
     )
     out = pl.pallas_call(
