@@ -80,8 +80,8 @@ def main():
                             if a.startswith("--iters=")), 10)))
 
     detector = MTCNN(min_face_size=50, keep_all=True,
-                     pnet_cap_per_scale=256, rnet_cap=128, onet_cap=64,
-                     out_cap=8, dtype=jnp.bfloat16)
+                     pnet_cap_per_scale=128, cross_cap=256, rnet_cap=64,
+                     onet_cap=32, out_cap=8, dtype=jnp.bfloat16)
     encoder = InceptionResnetV1()
     key = jax.random.PRNGKey(0)
     enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))

@@ -71,15 +71,21 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
         jnp.float32)
     i_n = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1).astype(
         jnp.float32)
-    ry = jnp.maximum(0.0, 1.0 - jnp.abs(s * o_m + uy - i_n))  # [m, n]
-    rx = jnp.maximum(0.0, 1.0 - jnp.abs(s * o_m + ux - i_n))
+    # bf16 matmul tails: hat weights and uint8-valued pixels are near-
+    # exact in bf16 and the MXU accumulates in f32
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(s * o_m + uy - i_n)).astype(
+        jnp.bfloat16)  # [m, n]
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(s * o_m + ux - i_n)).astype(
+        jnp.bfloat16)
 
     buf_a[...] = jnp.zeros((ch, m, np_w), jnp.float32)
     buf_b[...] = jnp.zeros((ch, m, np_w), jnp.float32)
     for cc in range(ch):
-        t = jnp.dot(ry, img[cc], preferred_element_type=jnp.float32)
+        t = jnp.dot(ry, img[cc].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
         buf_a[cc, :, _LO:_LO + m] = jnp.dot(
-            t, rx.T, preferred_element_type=jnp.float32
+            t.astype(jnp.bfloat16), rx.T,
+            preferred_element_type=jnp.float32,
         )
 
     # ---- 3-shear rotation of the intermediate ----
@@ -128,10 +134,11 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
         jnp.float32)
     crop = jnp.where(
         jnp.abs(o_c + _DELTA - i_m) < 0.5, 1.0, 0.0
-    )  # [out, m]
+    ).astype(jnp.bfloat16)  # [out, m] one-hot rows (exact in bf16)
     for cc in range(ch):
-        t = jnp.dot(crop, rot[cc], preferred_element_type=jnp.float32)
-        out_ref[0, cc] = jnp.dot(t, crop.T,
+        t = jnp.dot(crop, rot[cc].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        out_ref[0, cc] = jnp.dot(t.astype(jnp.bfloat16), crop.T,
                                  preferred_element_type=jnp.float32)
 
 
