@@ -26,7 +26,7 @@ def _to_host(tree):
 
 
 def save_checkpoint(path, *, arch, epoch, variables, opt_state,
-                    monitor_best, config):
+                    monitor_best, config, backend="pickle"):
     state = {
         "arch": arch,
         "epoch": int(epoch),
@@ -35,11 +35,25 @@ def save_checkpoint(path, *, arch, epoch, variables, opt_state,
         "monitor_best": float(monitor_best),
         "config": config,
     }
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        import os
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(str(path)), state, force=True)
+        return
     with open(str(path), "wb") as fp:
         pickle.dump(state, fp)
 
 
 def load_checkpoint(path):
+    import os
+
+    if os.path.isdir(str(path)):  # orbax checkpoints are directories
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(str(path)))
     with open(str(path), "rb") as fp:
         return pickle.load(fp)
 
