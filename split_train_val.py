@@ -1,9 +1,10 @@
 """Dataset split CLI.
 
-Same behaviour as /root/reference/split_train_val.py: train.csv
-(image,label) -> ``vn_celeb.json`` {label: [images]}; hold out the last
-image of every multi-image class for validation; optional sequential
-key remap.
+Capability parity with the reference splitter: a train.csv of
+(image, label) rows becomes the ``{label: [images]}`` manifest JSON;
+validation holds out the final image of every multi-image identity;
+``--remap_key`` additionally writes manifests with labels renumbered
+to a dense 0..N-1 range.
 """
 
 import argparse
@@ -12,39 +13,45 @@ from vn_celeb_face_recognition_tpu.utils import read_json, write_json
 
 
 def create_file_describe_ds(describe_file, output_file):
-    import numpy as np
     import pandas as pd
 
-    df_label = pd.read_csv(describe_file)
-    labels = np.unique(df_label["label"])
-    dict_labels = {}
-    for i in labels:
-        chosen = df_label["label"] == i
-        dict_labels[str(i)] = list(df_label["image"][chosen])
-    write_json(output_file, dict_labels)
+    df = pd.read_csv(describe_file)
+    # keep CSV row order within each identity: the held-out validation
+    # image is the LAST row, matching the published split behaviour
+    by_label = {
+        str(label): group["image"].tolist()
+        for label, group in df.groupby("label", sort=True)
+    }
+    write_json(output_file, by_label)
     print("Created {} for describe VN_celeb ...".format(output_file))
-    return dict_labels
+    return by_label
 
 
 def split_train_val(desc_file, output_train, output_val):
-    dict_labels = read_json(desc_file)
-    dict_train, dict_val = {}, {}
-    for k, v in dict_labels.items():
-        if len(v) > 1:
-            dict_train[k] = v[:-1]
-            dict_val[k] = [v[-1]]
-        else:
-            dict_train[k] = [v[0]]
-    write_json(output_train, dict_train)
-    write_json(output_val, dict_val)
-    return dict_train, dict_val
-
-
-def remap_sequence_key(label_dict):
-    return {
-        str(idx): label_dict[key]
-        for idx, key in enumerate(label_dict.keys())
+    manifest = read_json(desc_file)
+    train = {
+        key: (images[:-1] if len(images) > 1 else images)
+        for key, images in manifest.items()
     }
+    val = {
+        key: [images[-1]]
+        for key, images in manifest.items()
+        if len(images) > 1
+    }
+    write_json(output_train, train)
+    write_json(output_val, val)
+    return train, val
+
+
+def remap_sequence_key(manifest):
+    return {
+        str(new): manifest[old]
+        for new, old in enumerate(manifest)
+    }
+
+
+def _remap_name(path):
+    return "{}_remap.json".format(path.rsplit(".", 1)[0])
 
 
 if __name__ == "__main__":
@@ -59,21 +66,13 @@ if __name__ == "__main__":
     parser.add_argument("--remap_key", action="store_true")
     args = parser.parse_args()
 
-    dict_labels = create_file_describe_ds(args.describe_file,
-                                          args.out_dict_labels)
-    dict_train, dict_val = split_train_val(
-        args.out_dict_labels, args.train_file, args.val_file
-    )
+    labels = create_file_describe_ds(args.describe_file,
+                                     args.out_dict_labels)
+    train, val = split_train_val(args.out_dict_labels, args.train_file,
+                                 args.val_file)
     if args.remap_key:
-        write_json(
-            "{}_remap.json".format(args.describe_file.split(".")[0]),
-            remap_sequence_key(dict_labels),
-        )
-        write_json(
-            "{}_remap.json".format(args.train_file.split(".")[0]),
-            remap_sequence_key(dict_train),
-        )
-        write_json(
-            "{}_remap.json".format(args.val_file.split(".")[0]),
-            remap_sequence_key(dict_val),
-        )
+        write_json(_remap_name(args.describe_file),
+                   remap_sequence_key(labels))
+        write_json(_remap_name(args.train_file),
+                   remap_sequence_key(train))
+        write_json(_remap_name(args.val_file), remap_sequence_key(val))
