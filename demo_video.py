@@ -11,7 +11,6 @@ reference looped per frame/face on the host), and decode of the next
 chunk overlaps with device compute via a reader thread.
 """
 
-import argparse
 import glob
 import os
 import queue
@@ -34,7 +33,7 @@ from vn_celeb_face_recognition_tpu.utils import (
     append_log_to_file,
     convert_sec_to_max_time_quantity,
 )
-from vn_celeb_face_recognition_tpu.utils.tracing import StageTimer, trace
+from vn_celeb_face_recognition_tpu.utils.tracing import StageTimer
 from demo_image import build_arg_parser as build_image_arg_parser, \
     setup_models
 

@@ -8,7 +8,6 @@ step jits as one fused program.
 """
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class MLPModel(nn.Module):

@@ -29,7 +29,6 @@ npz so torch is only needed once).
 """
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ directly.
 from typing import Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 def _bn(name, train):

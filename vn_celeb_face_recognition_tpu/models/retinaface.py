@@ -27,7 +27,6 @@ sweeps.
 """
 
 import os
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn

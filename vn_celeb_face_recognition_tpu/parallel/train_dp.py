@@ -11,8 +11,6 @@ exercises, and the scale-out path for the online-aug trainer (frozen
 encoder forward + MLP update, reference online_aug_trainer.py:22-33).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -18,8 +18,6 @@ through:
 Padded face slots ride along masked; the host only converts names.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

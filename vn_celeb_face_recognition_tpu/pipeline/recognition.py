@@ -20,15 +20,13 @@ emotion top-k, drawing — with the device work batched and jitted:
     (demo_image.py:273-306).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.transforms import transforms_dict
 from ..training.checkpoint import load_checkpoint, restore_variables
-from .align import alignment, center_point_dict
+from .align import alignment
 
 
 def _bucket(n, minimum=8):

@@ -12,8 +12,6 @@ instead of per-image sorting loops).
 import jax
 import jax.numpy as jnp
 
-from ..ops import boxes as B
-
 
 def smooth_l1(x):
     ax = jnp.abs(x)

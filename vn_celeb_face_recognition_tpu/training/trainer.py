@@ -27,7 +27,6 @@ TPU redesign vs the reference's per-batch Python loop:
 
 import logging
 from datetime import datetime
-from functools import partial
 from pathlib import Path
 
 import jax
