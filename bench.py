@@ -77,7 +77,7 @@ def main():
     size = 640
     faces_per_frame = 4
     iters = int(float(next((a.split("=")[1] for a in sys.argv
-                            if a.startswith("--iters=")), 10)))
+                            if a.startswith("--iters=")), 20)))
 
     detector = MTCNN(min_face_size=50, keep_all=True,
                      pnet_cap_per_scale=128, cross_cap=256, rnet_cap=64,
