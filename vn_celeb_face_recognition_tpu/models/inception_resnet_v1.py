@@ -240,4 +240,12 @@ def build_inception_resnet_v1(pretrained=None, classify=False,
                                    jnp.zeros((1, 512)))
                     variables["params"]["logits"] = hv["params"]
                 break
+        if variables is None:
+            print(
+                f"Warning: pretrained='{pretrained}' requested but no "
+                "local weights found (searched "
+                f"{[c for c in candidates if c]}); the encoder is "
+                "randomly initialised. Convert the published torch "
+                "checkpoint with tools/convert_weights.py."
+            )
     return model, variables

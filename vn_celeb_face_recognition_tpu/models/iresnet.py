@@ -172,4 +172,11 @@ def build_iresnet(depth, pretrained=False, progress=True,
                           if not k.startswith("logits.")}
                 variables = convert_state_dict(sd)
                 break
+        if variables is None:
+            print(
+                f"Warning: pretrained iresnet{depth} requested but no "
+                "local weights found; the encoder is randomly "
+                "initialised. Convert the published torch checkpoint "
+                "with tools/convert_weights.py."
+            )
     return model, variables
