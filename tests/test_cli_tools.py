@@ -167,3 +167,74 @@ def test_download_url_to_file(tmp_path):
     with pytest.raises(RuntimeError):
         download_url_to_file(src.as_uri(), str(bad_dst), progress=False)
     assert not bad_dst.exists()
+
+
+def test_export_video_face_recognition(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+
+    from demo_video import export_video_face_recognition
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    gen = np.random.default_rng(2)
+    for i in range(1, 6):
+        img = gen.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(frames_dir / f"frame_{i}.png"), img)
+    out = str(tmp_path / "out.mp4")
+    export_video_face_recognition(str(frames_dir), 5.0, out)
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 5
+
+
+def test_dataset_folder_converters(tmp_path):
+    import pandas as pd
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.utils import (
+        convert_ds_folder_2_def_structure,
+        convert_id_ds_2_def_structure,
+    )
+
+    src = tmp_path / "per_class"
+    for cls in ("1", "2"):
+        (src / cls).mkdir(parents=True)
+        for j in range(2):
+            Image.new("RGB", (8, 8)).save(src / cls / f"img{j}.png")
+
+    out1 = tmp_path / "flat1"
+    convert_ds_folder_2_def_structure(str(src), str(out1),
+                                      str(tmp_path / "l1.csv"))
+    df1 = pd.read_csv(tmp_path / "l1.csv")
+    assert sorted(df1["label"].unique()) == [0, 1]  # 1-based dirs -> -1
+    assert len(df1) == 4
+
+    out2 = tmp_path / "flat2"
+    convert_id_ds_2_def_structure(str(src), str(out2),
+                                  str(tmp_path / "l2.csv"))
+    df2 = pd.read_csv(tmp_path / "l2.csv")
+    assert sorted(df2["label"].unique()) == [1, 2]  # 0-based identity
+
+
+def test_mtcnn_extract_save_path(tmp_path):
+    import glob
+
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.models import MTCNN
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    img = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((160, 160))
+    )
+    det = MTCNN(min_face_size=20, keep_all=False, image_size=96)
+    save_to = str(tmp_path / "crops" / "face.png")
+    faces, boxes = det(img, save_path=save_to)
+    assert os.path.exists(save_to)
+    saved = np.asarray(Image.open(save_to))
+    assert saved.shape == (96, 96, 3)
