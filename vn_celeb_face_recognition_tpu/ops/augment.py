@@ -247,8 +247,16 @@ def rank1_vn_celeb_aug(key, img):
     return prewhiten(img)
 
 
-def facenet_aug(key, img, out_size=160):
-    """One image of the facenet pipeline; returns standardised float."""
+def facenet_aug(key, img, out_size=None):
+    """One image of the facenet pipeline; returns standardised float.
+
+    The reference pipeline crops to its fixed encoder size (160) with
+    2px padding, i.e. a +-2px jitter on same-sized inputs
+    (data_loader/__init__.py:58-65); ``out_size=None`` keeps that
+    jitter semantic for any input size instead of hard-coding 160.
+    """
+    if out_size is None:
+        out_size = img.shape[0]
     k_rot, k_crop, k_flip = jax.random.split(key, 3)
     img = aug_rotate(k_rot, img)
     img = aug_random_crop(k_crop, img, out_size, padding=2)
