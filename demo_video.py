@@ -58,24 +58,34 @@ def export_video_face_recognition(output_frame_dir, fps, output_path):
     print("Save exported video in {} ...".format(output_path))
 
 
-def frame_chunks(video_path, n_frames, frame_idxes=None, prefetch=2):
+def frame_chunks(video_path, n_frames, frame_idxes=None, prefetch=2,
+                 use_native=None):
     """Decode chunks of n_frames on a reader thread. Yields
-    (frames list, infos list) where info = [time_in_video, count].
+    (frames list, infos list) where info = [time_in_video, count];
+    frames are BGR (cv2 convention) for drawing parity.
     ``frame_idxes``: optional per-second frame indices to sample
-    (celeb_statistic.py:180-187 semantics)."""
-    import cv2
+    (celeb_statistic.py:180-187 semantics).
+
+    Decoding prefers the native C++ libavcodec reader (threaded codec,
+    chunked RGB output) and falls back to cv2.VideoCapture."""
+    if use_native is None:
+        try:
+            from vn_celeb_face_recognition_tpu import native
+
+            use_native = native.available()
+        except Exception:
+            use_native = False
 
     q = queue.Queue(maxsize=prefetch)
     sentinel = object()
 
-    def producer():
-        cap = cv2.VideoCapture(video_path)
-        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    def emit_loop(read_next, fps):
+        """read_next() -> BGR frame or None; chunks + sampling."""
         count = 0
         frames, infos = [], []
-        while cap.isOpened():
-            ret, frame = cap.read()
-            if not ret:
+        while True:
+            frame = read_next()
+            if frame is None:
                 break
             count += 1
             if frame_idxes is not None:
@@ -88,9 +98,45 @@ def frame_chunks(video_path, n_frames, frame_idxes=None, prefetch=2):
                 frames, infos = [], []
         if frames:
             q.put((frames, infos))
-        cap.release()
-        q.put(sentinel)
 
+    def producer_native():
+        from vn_celeb_face_recognition_tpu import native
+
+        reader = native.NativeVideoReader(video_path)
+        pending = []
+
+        def read_next():
+            nonlocal pending
+            if not pending:
+                chunk = reader.read(max(n_frames, 8))
+                if len(chunk) == 0:
+                    return None
+                pending = [f[:, :, ::-1] for f in chunk]  # RGB -> BGR
+            return pending.pop(0)
+
+        try:
+            emit_loop(read_next, reader.fps or 25.0)
+        finally:
+            reader.close()
+            q.put(sentinel)
+
+    def producer_cv2():
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+
+        def read_next():
+            ret, frame = cap.read()
+            return frame if ret else None
+
+        try:
+            emit_loop(read_next, fps)
+        finally:
+            cap.release()
+            q.put(sentinel)
+
+    producer = producer_native if use_native else producer_cv2
     threading.Thread(target=producer, daemon=True).start()
     while True:
         item = q.get()

@@ -124,3 +124,38 @@ def test_video_reader_matches_cv2(tmp_path):
         # MJPEG decode differences between libav and cv2 are tiny
         assert np.abs(got[i].astype(np.int16) - rgb).mean() < 3.0
     cap.release()
+
+
+def test_frame_chunks_native_matches_cv2(tmp_path):
+    """demo_video.frame_chunks yields the same frames through the
+    native libav reader and the cv2 fallback."""
+    cv2 = pytest.importorskip("cv2")
+
+    from demo_video import frame_chunks
+
+    video_path = str(tmp_path / "chunks.avi")
+    w, h, n = 64, 48, 10
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 8.0, (w, h)
+    )
+    gen = np.random.default_rng(4)
+    for i in range(n):
+        frame = np.full((h, w, 3), (i * 23) % 255, dtype=np.uint8)
+        frame[8:24, 8:24] = gen.integers(0, 255, size=(16, 16, 3))
+        writer.write(frame)
+    writer.release()
+
+    def collect(use_native):
+        frames, infos = [], []
+        for fs, inf in frame_chunks(video_path, 4,
+                                    use_native=use_native):
+            frames += fs
+            infos += inf
+        return frames, infos
+
+    f_native, i_native = collect(True)
+    f_cv2, i_cv2 = collect(False)
+    assert len(f_native) == len(f_cv2) == n
+    assert i_native == i_cv2
+    for a, b in zip(f_native, f_cv2):
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).mean() < 3.0
