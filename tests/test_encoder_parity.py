@@ -89,3 +89,34 @@ def test_iresnet34_parity(rng):
     cs = cosine(got, want)
     assert (cs > 0.9999).all(), f"cosine {cs}"
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_resnet101_se_parity(rng):
+    """SE-IR resnet101 (ArcFace-style alternative encoder) vs the
+    reference torch model with shared random weights."""
+    from ref_oracle import load_ref_module
+
+    from vn_celeb_face_recognition_tpu.models import resnet101
+
+    ref_mod = load_ref_module("resnet_encoder")
+    torch.manual_seed(0)
+    ref = ref_mod.resnet101(use_se=True, pretrained=False, img_size=112)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = resnet101(use_se=True)
+    variables = convert_state_dict(sd)
+    init_vars = model.init(
+        __import__("jax").random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
+    )
+    assert_tree_compatible(variables, init_vars)
+
+    x = rng.uniform(-1, 1, size=(2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    cs = cosine(got, want)
+    assert (cs > 0.999).all(), f"cosine {cs}"

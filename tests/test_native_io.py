@@ -159,3 +159,35 @@ def test_frame_chunks_native_matches_cv2(tmp_path):
     assert i_native == i_cv2
     for a, b in zip(f_native, f_cv2):
         assert np.abs(a.astype(np.int16) - b.astype(np.int16)).mean() < 3.0
+
+
+@pytest.mark.parametrize("size", [(200, 200), (100, 76), (322, 242)])
+def test_video_reader_unaligned_sizes(tmp_path, size):
+    """Regression: swscale SIMD paths overran packed output strides at
+    widths whose row bytes weren't vector-aligned (double-free crash at
+    200x200); the reader stages through an aligned buffer now."""
+    cv2 = pytest.importorskip("cv2")
+
+    w, h = size
+    video_path = str(tmp_path / f"clip_{w}x{h}.avi")
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 6.0, (w, h)
+    )
+    gen = np.random.default_rng(w)
+    for i in range(7):
+        writer.write(
+            gen.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        )
+    writer.release()
+
+    for _ in range(3):  # repeated open/close caught the corruption
+        reader = native.NativeVideoReader(video_path)
+        total = 0
+        while True:
+            chunk = reader.read(4)
+            if len(chunk) == 0:
+                break
+            assert chunk.shape[1:] == (h, w, 3)
+            total += len(chunk)
+        reader.close()
+        assert total == 7

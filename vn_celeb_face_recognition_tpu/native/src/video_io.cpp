@@ -21,8 +21,11 @@ struct VnVideo {
     AVCodecContext* codec = nullptr;
     SwsContext* sws = nullptr;
     AVFrame* frame = nullptr;
-    AVFrame* rgb = nullptr;
     AVPacket* pkt = nullptr;
+    // aligned RGB staging buffer: swscale SIMD paths can overrun
+    // unaligned packed strides, so convert here then memcpy rows out
+    uint8_t* rgb_data[4] = {nullptr, nullptr, nullptr, nullptr};
+    int rgb_linesize[4] = {0, 0, 0, 0};
     int stream_idx = -1;
     int width = 0;
     int height = 0;
@@ -69,8 +72,16 @@ void* vn_video_open(const char* path) {
     v->fps = r.den ? static_cast<double>(r.num) / r.den : 25.0;
     v->nframes = st->nb_frames;
     v->frame = av_frame_alloc();
-    v->rgb = av_frame_alloc();
     v->pkt = av_packet_alloc();
+    if (av_image_alloc(v->rgb_data, v->rgb_linesize, v->width,
+                       v->height, AV_PIX_FMT_RGB24, 64) < 0) {
+        av_packet_free(&v->pkt);
+        av_frame_free(&v->frame);
+        avcodec_free_context(&v->codec);
+        avformat_close_input(&v->fmt);
+        delete v;
+        return nullptr;
+    }
     return v;
 }
 
@@ -98,10 +109,14 @@ int vn_video_read(void* handle, uint8_t* dst, int n) {
                     v->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                     nullptr, nullptr);
             }
-            uint8_t* planes[1] = {dst + frame_bytes * got};
-            int strides[1] = {v->width * 3};
             sws_scale(v->sws, v->frame->data, v->frame->linesize, 0,
-                      v->height, planes, strides);
+                      v->height, v->rgb_data, v->rgb_linesize);
+            uint8_t* out = dst + frame_bytes * got;
+            const size_t row = static_cast<size_t>(v->width) * 3;
+            for (int y = 0; y < v->height; ++y) {
+                memcpy(out + row * y,
+                       v->rgb_data[0] + v->rgb_linesize[0] * y, row);
+            }
             av_frame_unref(v->frame);
             ++got;
             continue;
@@ -129,7 +144,7 @@ void vn_video_close(void* handle) {
     if (v->sws) sws_freeContext(v->sws);
     if (v->pkt) av_packet_free(&v->pkt);
     if (v->frame) av_frame_free(&v->frame);
-    if (v->rgb) av_frame_free(&v->rgb);
+    if (v->rgb_data[0]) av_freep(&v->rgb_data[0]);
     if (v->codec) avcodec_free_context(&v->codec);
     if (v->fmt) avformat_close_input(&v->fmt);
     delete v;
