@@ -319,3 +319,53 @@ def test_demo_image_with_emotion(face_image, pipeline_files, tmp_path):
     names, boxes = demo_image.main(args)
     assert os.path.exists(out_path)
     assert len(names) == 1
+
+
+@pytest.mark.slow
+def test_demo_video_main_cli(face_image, pipeline_files, tmp_path,
+                             monkeypatch):
+    """demo_video.main() through argv: frame loop + tracker + saved
+    frames + MP4 re-mux."""
+    import sys
+
+    import cv2
+
+    import demo_video
+
+    video_path = str(tmp_path / "cli.avi")
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 6.0, (176, 176)
+    )
+    bgr_face = cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR)
+    for _ in range(4):
+        frame = np.full((176, 176, 3), 75, dtype=np.uint8)
+        frame[8:168, 8:168] = cv2.resize(bgr_face, (160, 160))
+        writer.write(frame)
+    writer.release()
+
+    out_video = str(tmp_path / "annotated.mp4")
+    argv = [
+        "demo_video.py",
+        "-vp", video_path,
+        "-ot", str(tmp_path / "cli_tracker.csv"),
+        "-of", str(tmp_path / "cli_frames"),
+        "-l2n", pipeline_files["label2name"],
+        "-eargs", pipeline_files["enc_cfg"],
+        "-dargs", pipeline_files["det_cfg"],
+        "-det", "MTCNN", "-enc", "InceptionResnetV1",
+        "-m", "", "-nc", "16",
+        "--inference_method", "par_fd_vs_aln",
+        "--n_frames", "2",
+        "-sfr",
+        "-ov", out_video,
+        "-fps", "6.0",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    demo_video.main()
+
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "cli_tracker.csv")
+    assert len(df) == 4
+    assert os.path.exists(tmp_path / "cli_frames" / "frame_1.png")
+    assert os.path.exists(out_video)
