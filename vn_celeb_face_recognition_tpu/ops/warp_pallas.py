@@ -92,20 +92,34 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
     ys_col = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
         jnp.float32) - cm
 
-    def shear_pass(src_ref, dst_ref, coeff):
-        # integer part per row in the loop (interior write only so the
-        # zero margins stay clean for the next pass)...
-        def row(y, _):
-            sh = coeff * (y.astype(jnp.float32) - cm)
-            k = jnp.floor(sh)
-            k = jnp.clip(k.astype(jnp.int32), -pad, pad)
-            r = src_ref[:, y, :]  # [C, Wp]
-            r0 = pltpu.roll(r, jnp.mod(-k, np_w), axis=1)
-            val = r0[:, _LO:_LO + m]  # [C, m]
-            dst_ref[:, pl.ds(y, 1), _LO:_LO + m] = val[:, None]
-            return 0
-
-        jax.lax.fori_loop(0, m, row, 0)
+    def shear_pass(src_ref, dst_ref, coeff, dev, blk_lo, blk_hi):
+        # Integer part, ROW-BLOCKED: all 8 rows of a sublane-aligned
+        # block share one dynamic rotate by the block-centre shift k0;
+        # each row's exact shift k_y then differs from k0 by at most
+        # `dev` (|coeff| <= tan(22.5deg)/sin(45deg) bounds the in-block
+        # drift), so a handful of STATIC single-lane rotates + selects
+        # recover per-row exactness. ~5-7 vector ops per 8 rows instead
+        # of a 160-iteration scalar-orchestrated row loop.
+        nb = 8
+        for b in range(blk_lo, blk_hi):
+            y0 = b * nb
+            slab = src_ref[:, y0:y0 + nb, :]          # [C, nb, Wp]
+            base = coeff * (y0 + (nb - 1) / 2.0 - cm)
+            k0 = jnp.clip(jnp.floor(base).astype(jnp.int32),
+                          -(pad - dev), pad - dev)
+            r0 = pltpu.roll(slab, jnp.mod(-k0, np_w), axis=2)
+            yv = (jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+                  .astype(jnp.float32) + (y0 - cm))
+            ky = jnp.clip(
+                jnp.floor(coeff * yv).astype(jnp.int32), -pad, pad)
+            delta = ky - k0                           # in [-dev, dev]
+            acc = jnp.zeros_like(r0)
+            for d in range(-dev, dev + 1):
+                rd = (pltpu.roll(r0, np_w - d, axis=2) if d > 0
+                      else pltpu.roll(r0, -d, axis=2) if d < 0
+                      else r0)
+                acc = jnp.where(delta == d, rd, acc)
+            dst_ref[:, y0:y0 + nb, _LO:_LO + m] = acc[:, :, _LO:_LO + m]
         # ...fractional part as ONE plane-wide lerp, interior only
         sh_all = coeff * ys_col                      # [m, 1]
         f = (sh_all - jnp.floor(sh_all))[None]       # [1, m, 1]
@@ -115,16 +129,20 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
             v * (1.0 - f) + v1 * f
         )[:, :, _LO:_LO + m]
 
-    shear_pass(buf_a, buf_b, alpha)
+    nblk = _M // 8
+    # |alpha| <= tan(pi/8): in-block drift 0.415*3.5 -> floor diff <= 2
+    # |beta|  <= sin(pi/4): 0.708*3.5 -> floor diff <= 3
+    shear_pass(buf_a, buf_b, alpha, 2, 0, nblk)
     # y-shear == x-shear on the transposed interior
     buf_a[:, :, _LO:_LO + m] = jnp.swapaxes(
         buf_b[:, :, _LO:_LO + m], 1, 2
     )
-    shear_pass(buf_a, buf_b, beta)
+    shear_pass(buf_a, buf_b, beta, 3, 0, nblk)
     buf_a[:, :, _LO:_LO + m] = jnp.swapaxes(
         buf_b[:, :, _LO:_LO + m], 1, 2
     )
-    shear_pass(buf_a, buf_b, alpha)
+    # the final crop reads rows DELTA..DELTA+111 only -> blocks 3..16
+    shear_pass(buf_a, buf_b, alpha, 2, 3, 17)
     rot = buf_b[:, :, _LO:_LO + m]  # [C, m, m]
 
     # ---- centred 112 crop via one-hot matmuls (aligned-slice-free)
