@@ -334,16 +334,40 @@ class MTCNN:
                 boxes, score, reg, valid = jax.vmap(cap_one)(
                     boxes, score, reg, valid
                 )
-                keep = B.batched_nms_keep_mask(boxes, score, valid, 0.5)
                 all_boxes.append(boxes)
                 all_scores.append(score)
                 all_regs.append(reg)
-                all_valid.append(valid & keep)
+                all_valid.append(valid)
 
-            boxes = jnp.concatenate(all_boxes, axis=1)
-            score = jnp.concatenate(all_scores, axis=1)
-            reg = jnp.concatenate(all_regs, axis=1)
-            valid = jnp.concatenate(all_valid, axis=1)
+            # per-scale NMS(0.5) for ALL scales in ONE batched call:
+            # scales are independent, so folding them into the vmapped
+            # batch axis replaces S sequential while-loops (each paying
+            # its own convergence-round latency) with one. Small pyramid
+            # levels are padded to k1 with invalid rows first.
+            def pad_k1(a, fill):
+                padn = k1 - a.shape[1]
+                if padn <= 0:
+                    return a
+                cfg = [(0, 0), (0, padn)] + [(0, 0)] * (a.ndim - 2)
+                return jnp.pad(a, cfg, constant_values=fill)
+
+            ns = len(scales)
+            boxes = jnp.stack([pad_k1(a, 0.0) for a in all_boxes], 1)
+            score = jnp.stack([pad_k1(a, 0.0) for a in all_scores], 1)
+            reg = jnp.stack([pad_k1(a, 0.0) for a in all_regs], 1)
+            valid = jnp.stack([pad_k1(a, False) for a in all_valid], 1)
+            keep = B.batched_nms_keep_mask(
+                boxes.reshape(batch * ns, k1, 4),
+                score.reshape(batch * ns, k1),
+                valid.reshape(batch * ns, k1),
+                0.5,
+            ).reshape(batch, ns, k1)
+            valid = valid & keep
+
+            boxes = boxes.reshape(batch, ns * k1, 4)
+            score = score.reshape(batch, ns * k1)
+            reg = reg.reshape(batch, ns * k1, 4)
+            valid = valid.reshape(batch, ns * k1)
 
             # cap total candidates before the cross-scale NMS: only a
             # handful survive the per-scale NMS, so the top-kx by score
