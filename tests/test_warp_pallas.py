@@ -29,7 +29,11 @@ def _mat(deg, s=0.8, centre=111.5):
 
 @pytest.mark.parametrize(
     "degs", [(0.0, 9.0, -17.0, 44.0), (61.0, 100.0, 178.0, -130.0),
-             (90.0, -90.0, -44.9, 269.0)]
+             (90.0, -90.0, -44.9, 269.0),
+             # exact quadrant boundaries: |phi_r| == pi/4 maximises the
+             # shear coefficients, stressing the row-block shift-drift
+             # bound (dev) in the blocked shear passes
+             (45.0, -45.0, 135.0, -135.0)]
 )
 def test_pallas_matches_exact_warp(rng, degs):
     from scipy.ndimage import binary_erosion
