@@ -1,13 +1,17 @@
 """tracker.json aggregation tests (celeb_statistic post-pass)."""
 
 import json
+import os
 
+import numpy as np
 import pandas as pd
 
 from celeb_statistic import (
     export_json_stat_dynamic_itv,
     export_json_stat_fixed_itv,
 )
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def make_tracker_df():
@@ -60,6 +64,57 @@ def test_fixed_intervals_appearance_filter(tmp_path):
     for itv in data.values():
         for name, sightings in itv["celebrities"].items():
             assert len(sightings) >= 3
+
+
+def test_production_1020_class_tables():
+    """The published deployment tables (reference meta_data/
+    face_recognition/label2name_1020_cls.txt + local_thresholds.json,
+    used by scripts/celeb_stat_*.sh with -nc 1021) must load through
+    the celeb_statistic threshold logic end to end."""
+    from vn_celeb_face_recognition_tpu.pipeline import identify_person
+    from vn_celeb_face_recognition_tpu.utils import read_json
+
+    meta = os.path.join(REPO, "meta_data", "face_recognition")
+    thresholds = read_json(os.path.join(meta, "local_thresholds.json"))
+    assert len(thresholds) == 1020
+    assert set(thresholds) == {str(i) for i in range(1020)}
+    assert all(0.0 < v <= 1.0 for v in thresholds.values())
+    # learned outliers exist alongside the 0.8 default
+    assert any(abs(v - 0.8) > 1e-6 for v in thresholds.values())
+
+    name_df = pd.read_csv(os.path.join(meta, "label2name_1020_cls.txt"))
+    assert list(name_df.columns) == ["label", "name"]
+    # label 1020 is the explicit Unknown row — the rejection class that
+    # identify_person assigns below-threshold faces (hence -nc 1021 in
+    # scripts/celeb_stat_*.sh)
+    assert name_df["label"].between(0, 1020).all()
+    assert name_df["label"].is_unique
+    unknown_rows = name_df[name_df["label"] == 1020]
+    assert list(unknown_rows["name"]) == ["Unknown"]
+
+    # synthetic 1020-way log-probs: one confident hit on a named label,
+    # one confident hit on an unnamed label, one below-threshold hit
+    named_label = int(name_df["label"].iloc[0])
+    named_name = str(name_df["name"].iloc[0])
+    unnamed_label = next(
+        i for i in range(1020) if i not in set(name_df["label"])
+    )
+    assert unnamed_label is not None
+    n_cls = 1020
+    logp = np.full((3, n_cls), -20.0)
+    logp[0, named_label] = np.log(0.99)
+    logp[1, unnamed_label] = np.log(0.99)
+    low = min(0.5, thresholds[str(named_label)] - 0.05)
+    logp[2, named_label] = np.log(low)
+    names = identify_person(logp, None, name_df, thresholds)
+    assert names[0] == named_name
+    assert names[1] == "Unknown"  # confident but no name row
+    assert names[2] == "Unknown"  # below the per-class threshold
+
+    # the 18-line label2name.txt alias table also loads
+    small_df = pd.read_csv(os.path.join(meta, "label2name.txt"))
+    assert list(small_df.columns) == ["label", "name"]
+    assert len(small_df) >= 16
 
 
 def test_no_emotion_column(tmp_path):
