@@ -40,20 +40,30 @@ from demo_image import build_arg_parser as build_image_arg_parser, \
 
 def export_video_face_recognition(output_frame_dir, fps, output_path):
     """Re-encode saved frame_<i>.png files into an MP4
-    (reference demo_video.py:25-43)."""
+    (reference demo_video.py:25-43).
+
+    Frames are saved under their ORIGINAL video index, which is sparse
+    when -fidx sampling is active; the reference assumed dense
+    frame_1..N names and read missing files. Here the saved frames are
+    globbed and sorted by their numeric index instead."""
     import cv2
 
     container_path = Path(output_frame_dir)
-    image_files = glob.glob(str(container_path / "*"))
-    n_images = len(image_files)
-    first_img = cv2.imread(str(container_path / "frame_1.png"))
+    image_files = sorted(
+        glob.glob(str(container_path / "frame_*.png")),
+        key=lambda p: int(Path(p).stem.split("_")[-1]),
+    )
+    if not image_files:
+        print("No saved frames in {}; nothing to export.".format(
+            output_frame_dir))
+        return
+    first_img = cv2.imread(image_files[0])
     height, width, _ = first_img.shape
     out_writer = cv2.VideoWriter(
         output_path, cv2.VideoWriter_fourcc(*"MP4V"), fps, (width, height)
     )
-    for i in range(1, n_images + 1):
-        img = cv2.imread(str(container_path / "frame_{}.png".format(i)))
-        out_writer.write(img)
+    for image_file in image_files:
+        out_writer.write(cv2.imread(image_file))
     out_writer.release()
     print("Save exported video in {} ...".format(output_path))
 
@@ -154,19 +164,29 @@ def get_video_fps(video_path):
     return fps
 
 
-def build_fused_engine(models, target_fs):
+def build_fused_engine(models, target_fs, emotion_topk=6):
     """Fused single-program engine over the loaded models (MTCNN
-    detector path)."""
+    detector path). When the emotion model is loaded it fuses into the
+    same device program (reference emotion flow: demo_image.py:79-110
+    ran it as a separate host pass per chunk)."""
     from vn_celeb_face_recognition_tpu.pipeline.engine import (
         FusedRecognitionEngine,
     )
 
-    (_, detection_md, emb_model, classify_model, _, _) = models
+    (_, detection_md, emb_model, classify_model, emt_model, _) = models
+    emotion_kwargs = {}
+    if emt_model is not None:
+        emotion_kwargs = {
+            "emotion": emt_model.module,
+            "emotion_variables": emt_model.variables,
+            "emotion_topk": emotion_topk,
+        }
     return FusedRecognitionEngine(
         detection_md,
         emb_model.module, emb_model.variables,
         classify_model.module, classify_model.variables,
         target_fs=target_fs[0],
+        **emotion_kwargs,
     )
 
 
@@ -185,13 +205,12 @@ def process_video(args, models, target_fs, center_point, threshold,
 
     engine = None
     if getattr(args, "fused_engine", False):
-        if args.recog_emotion:
-            print("fused engine: emotion head not fused; falling back")
-        elif not hasattr(detection_md, "_build_detect_fn"):
+        if not hasattr(detection_md, "_build_detect_fn"):
             print("fused engine: requires the MTCNN detector; falling "
                   "back")
         else:
-            engine = build_fused_engine(models, target_fs)
+            engine = build_fused_engine(models, target_fs,
+                                        args.topk_emotions)
 
     if not os.path.exists(args.output_frame):
         os.makedirs(args.output_frame)
@@ -232,6 +251,7 @@ def process_video(args, models, target_fs, center_point, threshold,
                 cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in frames_queue
             ]
 
+        bth_emotions = bth_emotion_probs = None
         if engine is not None:
             with timer.stage("fused_engine"):
                 stack = np.stack(rgb_images)
@@ -244,6 +264,13 @@ def process_video(args, models, target_fs, center_point, threshold,
                                           threshold)[:real]
             bth_names = [r[0] for r in results]
             bth_chosen_boxes = [r[1] for r in results]
+            if args.recog_emotion:
+                map_func = np.vectorize(lambda x: idx2etag[x])
+                bth_emotions = [
+                    map_func(np.asarray(r[2])) if len(r[2]) else []
+                    for r in results
+                ]
+                bth_emotion_probs = [r[3] for r in results]
         else:
             with timer.stage("detect_align"):
                 if args.inference_method == "seq_fd_vs_aln":
@@ -270,6 +297,12 @@ def process_video(args, models, target_fs, center_point, threshold,
                     bth_alg_faces, None, emb_model, classify_model, None,
                     label2name_df, threshold,
                 )
+            if args.recog_emotion:
+                map_func = np.vectorize(lambda x: idx2etag[x])
+                bth_emotions, bth_emotion_probs = recognize_emotion(
+                    bth_alg_faces, None, emt_model, None, map_func,
+                    args.topk_emotions,
+                )
 
         np_image_recogs = []
         for idx, names in enumerate(bth_names):
@@ -281,15 +314,9 @@ def process_video(args, models, target_fs, center_point, threshold,
                 img_recog = frames_queue[idx]
             np_image_recogs.append(img_recog)
 
-        bth_emotions = None
         if args.recog_emotion:
-            map_func = np.vectorize(lambda x: idx2etag[x])
-            bth_emotions, bth_probs = recognize_emotion(
-                bth_alg_faces, None, emt_model, None, map_func,
-                args.topk_emotions,
-            )
             for idx, (emotions, probs) in enumerate(
-                zip(bth_emotions, bth_probs)
+                zip(bth_emotions, bth_emotion_probs)
             ):
                 draw_emotions(
                     np_image_recogs[idx], bth_chosen_boxes[idx], emotions,
@@ -327,7 +354,10 @@ def process_video(args, models, target_fs, center_point, threshold,
                 emotions_list = []
                 if len(bboxes) > 0:
                     for i in range(len(emotions)):
-                        emotions_list.append(list(emotions[i]))
+                        # plain str: np.str_ reprs don't literal_eval
+                        emotions_list.append(
+                            [str(t) for t in emotions[i]]
+                        )
                 row.append('"' + str(emotions_list) + '"')
             logged_rows.append(",".join(row) + "\n")
 

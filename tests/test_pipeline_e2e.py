@@ -219,6 +219,112 @@ def test_demo_video_fused_engine(face_image, pipeline_files, tmp_path):
 
 
 @pytest.mark.slow
+def test_demo_video_fused_engine_emotion(face_image, pipeline_files,
+                                         tmp_path):
+    """--fused_engine + --recog_emotion: the emotion head fuses into
+    the same device program (no fallback), and the tracker carries an
+    Emotion column of per-face top-k tag lists."""
+    import ast
+
+    import cv2
+    import pandas as pd
+
+    import demo_image
+    import demo_video
+
+    emt_cfg = tmp_path / "emt.json"
+    emt_cfg.write_text(json.dumps({"pretrained": False,
+                                   "num_classes": 690,
+                                   "checkpoint_path": None}))
+    video_path = str(tmp_path / "clip3.avi")
+    h, w = 192, 192
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"MJPG"), 8.0, (w, h)
+    )
+    bgr_face = cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR)
+    for _ in range(4):
+        frame = np.full((h, w, 3), 70, dtype=np.uint8)
+        frame[16:176, 16:176] = cv2.resize(bgr_face, (160, 160))
+        writer.write(frame)
+    writer.release()
+
+    args = make_args(
+        pipeline_files,
+        video_path=video_path,
+        output_tracker=str(tmp_path / "tracker3.csv"),
+        output_frame=str(tmp_path / "frames3"),
+        n_frames=2,
+        log_step=100,
+        recog_threshold=0.0,
+        fused_engine=True,
+        recog_emotion=True,
+        emotion_args=str(emt_cfg),
+        etag2idx_file="meta_data/emotion_recognition/etag2idx.pkl",
+        topk_emotions=3,
+    )
+    models = demo_image.setup_models(args)
+    from vn_celeb_face_recognition_tpu.pipeline import center_point_dict
+
+    target_fs = (args.target_face_size, args.target_face_size)
+    center_point = center_point_dict[str(target_fs)]
+    processed, wall = demo_video.process_video(
+        args, models, target_fs, center_point, args.recog_threshold
+    )
+    assert processed == 4
+    df = pd.read_csv(args.output_tracker)
+    assert list(df.columns) == ["Time", "Names", "Frame_idx", "Bboxes",
+                                "Emotion"]
+    rows_with_emotion = 0
+    for _, row in df.iterrows():
+        names = ast.literal_eval(row["Names"])
+        emotions = ast.literal_eval(row["Emotion"])
+        if names:
+            assert len(emotions) == len(names)
+            for tags in emotions:
+                assert len(tags) == 3
+                assert all(isinstance(t, str) for t in tags)
+            rows_with_emotion += 1
+    assert rows_with_emotion >= 2
+
+
+def test_export_video_sparse_frame_indices(tmp_path):
+    """Re-mux must handle sparse frame indices (-fidx sampling saves
+    frame_<original idx>.png); the reference read missing dense names
+    (reference demo_video.py:25-43)."""
+    import cv2
+
+    import demo_video
+
+    frame_dir = tmp_path / "sparse_frames"
+    frame_dir.mkdir()
+    # simulate -fidx "1 6": indices 1, 6, 26, 31 (sparse, unsorted glob)
+    for i in [31, 1, 26, 6]:
+        img = np.full((64, 64, 3), i, dtype=np.uint8)
+        cv2.imwrite(str(frame_dir / "frame_{}.png".format(i)), img)
+    out = str(tmp_path / "sparse.mp4")
+    demo_video.export_video_face_recognition(str(frame_dir), 4.0, out)
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    frames = []
+    while True:
+        ret, f = cap.read()
+        if not ret:
+            break
+        frames.append(int(np.median(f)))
+    cap.release()
+    assert len(frames) == 4
+    # temporal order preserved (lossy codec -> compare loosely)
+    assert frames == sorted(frames)
+
+    # empty dir: no crash, no output
+    empty = tmp_path / "no_frames"
+    empty.mkdir()
+    out2 = str(tmp_path / "none.mp4")
+    demo_video.export_video_face_recognition(str(empty), 4.0, out2)
+    assert not os.path.exists(out2)
+
+
+@pytest.mark.slow
 def test_celeb_statistic_end_to_end(face_image, pipeline_files,
                                     tmp_path, monkeypatch):
     """celeb_statistic main(): frame-index sampling, local thresholds,

@@ -191,13 +191,16 @@ class FusedRecognitionEngine:
     def identify(self, outputs, name_df, threshold):
         """Host post-pass: padded predictions -> per-frame name lists +
         kept boxes, honouring the per-class threshold dict semantics
-        (reference demo_image.py:113-147)."""
+        (reference demo_image.py:113-147). When the emotion head is
+        fused, each result tuple extends to (names, boxes,
+        emotion_topk_idx, emotion_topk_prob) per kept face."""
         outs = jax.device_get(outputs)
-        n_classes = None
+        has_emotion = "emotion_idx" in outs
         results = []
         for i in range(outs["valid"].shape[0]):
             v = outs["valid"][i]
             names, boxes = [], []
+            emotion_idx, emotion_prob = [], []
             for j in np.nonzero(v)[0]:
                 pred = int(outs["pred"][i][j])
                 prob = float(outs["prob"][i][j])
@@ -212,5 +215,11 @@ class FusedRecognitionEngine:
                     name = sel[0] if sel else "Unknown"
                 names.append(name)
                 boxes.append(outs["boxes"][i][j])
-            results.append((names, boxes))
+                if has_emotion:
+                    emotion_idx.append(outs["emotion_idx"][i][j])
+                    emotion_prob.append(outs["emotion_prob"][i][j])
+            if has_emotion:
+                results.append((names, boxes, emotion_idx, emotion_prob))
+            else:
+                results.append((names, boxes))
         return results
