@@ -313,6 +313,9 @@ class MTCNN:
         def detect(variables, imgs_u8):
             imgs = imgs_u8.astype(jnp.float32)
             all_boxes, all_scores, all_regs, all_valid = [], [], [], []
+            # per-stage max valid count BEFORE each capacity cap; the
+            # host compares these to the caps and warns on saturation
+            sat_s1 = jnp.zeros((), jnp.int32)
 
             # ---- stage 1: pyramid + PNet + per-scale NMS(0.5) ----
             for scale in scales:
@@ -326,6 +329,10 @@ class MTCNN:
                 boxes, score, reg, valid = _stage1_boxes(
                     probs[..., 1], reg, scale, hc, wc, thr[0]
                 )
+                if valid.shape[-1] >= k1:
+                    sat_s1 = jnp.maximum(
+                        sat_s1, valid.sum(-1).max().astype(jnp.int32)
+                    )
                 # cap per scale by score
                 def cap_one(bx, sc, rg, vl):
                     idx, still = B.top_k_select(sc, vl, min(k1, sc.shape[0]))
@@ -372,6 +379,8 @@ class MTCNN:
             # cap total candidates before the cross-scale NMS: only a
             # handful survive the per-scale NMS, so the top-kx by score
             # are lossless while the [K,K] IoU work drops ~(S*k1/kx)^2
+            sat_cross = valid.sum(-1).max().astype(jnp.int32)
+
             def cap_cross(bx, sc, rg, vl):
                 idx, still = B.top_k_select(sc, vl, kx)
                 return bx[idx], sc[idx], rg[idx], still
@@ -383,6 +392,7 @@ class MTCNN:
             # ---- cross-scale NMS(0.7) + cap to rnet capacity ----
             keep = B.batched_nms_keep_mask(boxes, score, valid, 0.7)
             valid = valid & keep
+            sat_rnet = valid.sum(-1).max().astype(jnp.int32)
 
             def cap2(bx, sc, rg, vl):
                 idx, still = B.top_k_select(sc, vl, k2)
@@ -409,6 +419,7 @@ class MTCNN:
             valid = valid & keep
             boxes = B.bbreg(boxes, r_reg)
             boxes = B.rerec(boxes)
+            sat_onet = valid.sum(-1).max().astype(jnp.int32)
 
             def cap3(bx, sc, vl):
                 idx, still = B.top_k_select(sc, vl, k3)
@@ -441,6 +452,7 @@ class MTCNN:
                 boxes, o_score, valid, 0.7, offset=1.0, min_mode=True
             )
             valid = valid & keep
+            sat_out = valid.sum(-1).max().astype(jnp.int32)
 
             def cap_out(bx, sc, pt, vl):
                 idx, still = B.top_k_select(sc, vl, kout)
@@ -449,7 +461,12 @@ class MTCNN:
             boxes, score, points, valid = jax.vmap(cap_out)(
                 boxes, o_score, points, valid
             )
-            return boxes, score, points, valid
+            # 5th output: per-stage max valid counts before each cap
+            # (host warns when a count reaches its cap). Consumers that
+            # only need detections slice [:4].
+            sat = jnp.stack([sat_s1, sat_cross, sat_rnet, sat_onet,
+                             sat_out])
+            return boxes, score, points, valid, sat
 
         return jax.jit(detect)
 
@@ -459,6 +476,34 @@ class MTCNN:
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_detect_fn(batch, h, w)
         return self._jit_cache[key](self.variables, imgs_u8)
+
+    _SAT_STAGES = ("pnet_cap_per_scale", "cross_cap", "rnet_cap",
+                   "onet_cap", "out_cap")
+
+    def warn_capacity_saturation(self, sat_counts):
+        """Warn when any stage's pre-cap valid count reached its
+        capacity knob — the top-k cap then silently drops the
+        lowest-score candidates. ``sat_counts`` is the cascade's 5th
+        output (per-stage max counts)."""
+        import warnings
+
+        counts = np.asarray(sat_counts).reshape(-1)
+        caps = (self.pnet_cap_per_scale, self.cross_cap, self.rnet_cap,
+                self.onet_cap, self.out_cap)
+        saturated = []
+        for name, count, cap in zip(self._SAT_STAGES, counts, caps):
+            if int(count) >= cap:
+                saturated.append((name, int(count), cap))
+        for name, count, cap in saturated:
+            warnings.warn(
+                "MTCNN capacity saturated: {} candidates hit {}={} — "
+                "detections may be truncated; raise the cap.".format(
+                    count, name, cap
+                ),
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return saturated
 
     # -- host-side API (parity with reference mtcnn.py:278-513) ---------
 
@@ -481,9 +526,10 @@ class MTCNN:
 
     def detect(self, img, landmarks=False):
         imgs, batch_mode = self._as_batch(img)
-        b_boxes, b_score, b_points, b_valid = jax.device_get(
+        b_boxes, b_score, b_points, b_valid, sat = jax.device_get(
             self._detect_padded(imgs)
         )
+        self.warn_capacity_saturation(sat)
         boxes_out, probs_out, points_out = [], [], []
         for i in range(imgs.shape[0]):
             v = b_valid[i]

@@ -105,7 +105,10 @@ class FusedRecognitionEngine:
         emotion_topk = self.emotion_topk
 
         def run(det_vars, enc_vars, clf_vars, frames_u8):
-            boxes, score, points, valid = raw_detect(det_vars, frames_u8)
+            det_out = raw_detect(det_vars, frames_u8)
+            boxes, score, points, valid = det_out[:4]
+            # MTCNN returns per-stage saturation counts as a 5th output
+            sat = det_out[4] if len(det_out) > 4 else None
             b, k = boxes.shape[0], boxes.shape[1]
             flat_pts = points.reshape(b * k, 5, 2)
             flat_boxes = boxes.reshape(b * k, 4)
@@ -156,6 +159,8 @@ class FusedRecognitionEngine:
                 "prob": prob.reshape(b, k),
                 "embeddings": emb.reshape(b, k, -1),
             }
+            if sat is not None:
+                out["sat_counts"] = sat
             if emotion is not None:
                 from ..ops.image import area_resize, imagenet_normalize
 
@@ -195,6 +200,10 @@ class FusedRecognitionEngine:
         fused, each result tuple extends to (names, boxes,
         emotion_topk_idx, emotion_topk_prob) per kept face."""
         outs = jax.device_get(outputs)
+        if "sat_counts" in outs and hasattr(
+            self.detector, "warn_capacity_saturation"
+        ):
+            self.detector.warn_capacity_saturation(outs["sat_counts"])
         has_emotion = "emotion_idx" in outs
         results = []
         for i in range(outs["valid"].shape[0]):
