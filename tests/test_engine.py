@@ -106,6 +106,78 @@ def test_fused_engine_with_retinaface(rng):
     assert np.isfinite(out["prob"]).all()
 
 
+def test_fused_engine_sharded_matches_single(rng):
+    """The mesh-sharded engine (frame chunk over 'data', weights
+    replicated) must produce the same padded outputs as the
+    single-device engine — including for a ragged chunk that needs
+    blank-frame padding (batch 6 on an 8-way data axis)."""
+    import glob
+
+    import flax.linen as nn
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.models import MLPModel, MTCNN
+    from vn_celeb_face_recognition_tpu.parallel import make_mesh
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    face = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((80, 80))
+    )
+
+    class TinyEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            return nn.Dense(512)(jnp.mean(x, axis=(1, 2)))
+
+    key = jax.random.PRNGKey(0)
+    enc = TinyEnc()
+    enc_vars = enc.init(key, jnp.zeros((1, 112, 112, 3)))
+    clf = MLPModel(input_dim=512, num_classes=16)
+    clf_vars = clf.init(key, jnp.zeros((1, 512)))
+
+    def build(mesh):
+        det = MTCNN(min_face_size=40, keep_all=True,
+                    pnet_cap_per_scale=128, rnet_cap=64, onet_cap=32,
+                    out_cap=4)
+        return FusedRecognitionEngine(det, enc, enc_vars, clf, clf_vars,
+                                      target_fs=112, mesh=mesh)
+
+    frames = np.full((6, 160, 160, 3), 80, dtype=np.uint8)
+    for i in range(6):
+        o = 10 * i
+        frames[i, 10 + o // 2:90 + o // 2, o:80 + o] = face
+
+    single = jax.device_get(build(None).process(frames))
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded_engine = build(mesh)
+    sharded = jax.device_get(sharded_engine.process(frames))
+
+    # a divisible chunk (batch 8, same compiled program) really lands
+    # distributed across all 8 devices
+    frames8 = np.concatenate([frames, frames[:2]])
+    out8 = sharded_engine.process(frames8)
+    assert len(out8["boxes"].sharding.device_set) == 8
+
+    assert single["valid"].sum() >= 6
+    np.testing.assert_array_equal(sharded["valid"], single["valid"])
+    for k in ("boxes", "points", "scores", "prob", "embeddings"):
+        np.testing.assert_allclose(
+            sharded[k], single[k], rtol=1e-4, atol=1e-4, err_msg=k
+        )
+    np.testing.assert_array_equal(
+        sharded["pred"][single["valid"].astype(bool)],
+        single["pred"][single["valid"].astype(bool)],
+    )
+    # outputs were sliced back from the padded batch of 8
+    assert sharded["boxes"].shape[0] == 6
+
+
 def test_fused_engine_emotion_head(rng):
     """Optional emotion branch: top-k indices/probs per padded face
     slot, fused into the same program."""

@@ -26,6 +26,7 @@ from ..ops.image import fixed_image_standardization
 from ..ops.similarity import umeyama_similarity
 from ..ops.warp_fast import batched_similarity_warp
 from ..ops.warp_pallas import batched_similarity_warp_pallas
+from ..parallel.mesh import data_sharding, replicated_sharding
 from .align import center_point_dict
 
 
@@ -47,6 +48,14 @@ class FusedRecognitionEngine:
       target_fs: aligned face size (reference -tg_fs, default 112).
       compute_dtype: jnp.bfloat16 to run encoder matmuls on the MXU in
         bf16 (params stay f32), or jnp.float32.
+      mesh: optional jax.sharding.Mesh with a 'data' axis. Weights are
+        replicated over the mesh and the frame chunk is sharded over
+        'data', so one engine call runs the whole
+        detect->align->embed->classify program across every chip with
+        XLA-inserted ICI collectives (the multi-chip scale-out of the
+        reference's single-GPU video loop, demo_video.py:86-192).
+        Chunks whose batch is not divisible by the data axis are padded
+        with blank frames and the outputs sliced back.
     """
 
     def __init__(self, detector, encoder, encoder_variables, classifier,
@@ -54,7 +63,7 @@ class FusedRecognitionEngine:
                  compute_dtype=jnp.float32, face_window=224,
                  use_pallas_warp=None, emotion=None,
                  emotion_variables=None, emotion_size=224,
-                 emotion_topk=6):
+                 emotion_topk=6, mesh=None):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -81,10 +90,30 @@ class FusedRecognitionEngine:
         self.emotion_variables = emotion_variables
         self.emotion_size = int(emotion_size)
         self.emotion_topk = int(emotion_topk)
+        self.mesh = mesh
         self._jit_cache = {}
         # keep detector weights resident on device (numpy inputs would
-        # re-upload per call)
-        self.detector.variables = jax.device_put(self.detector.variables)
+        # re-upload per call); under a mesh every weight tree is
+        # replicated across the chips once, up front
+        if mesh is not None:
+            rep = replicated_sharding(mesh)
+            self.detector.variables = jax.device_put(
+                self.detector.variables, rep
+            )
+            self.encoder_variables = jax.device_put(
+                self.encoder_variables, rep
+            )
+            self.classifier_variables = jax.device_put(
+                self.classifier_variables, rep
+            )
+            if self.emotion_variables is not None:
+                self.emotion_variables = jax.device_put(
+                    self.emotion_variables, rep
+                )
+        else:
+            self.detector.variables = jax.device_put(
+                self.detector.variables
+            )
 
     def _build(self, batch, h, w):
         # the cascade's jitted fn inlines when traced under this jit,
@@ -174,6 +203,12 @@ class FusedRecognitionEngine:
                 out["emotion_prob"] = top_p.reshape(b, k, emotion_topk)
             return out
 
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            return jax.jit(
+                run,
+                in_shardings=(rep, rep, rep, data_sharding(self.mesh, 4)),
+            )
         return jax.jit(run)
 
     def process(self, frames_u8):
@@ -183,15 +218,35 @@ class FusedRecognitionEngine:
         if not isinstance(frames_u8, jax.Array):
             frames_u8 = np.ascontiguousarray(frames_u8)
         b, h, w = frames_u8.shape[:3]
-        key = (b, h, w)
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        bp = -(-b // n_data) * n_data
+        if bp != b:
+            # ragged tail chunk (end of a video): pad with blank frames
+            # so every shard stays equal-sized, slice the outputs back
+            pad_shape = (bp - b,) + tuple(frames_u8.shape[1:])
+            if isinstance(frames_u8, jax.Array):
+                frames_u8 = jnp.concatenate(
+                    [frames_u8, jnp.zeros(pad_shape, frames_u8.dtype)]
+                )
+            else:
+                frames_u8 = np.concatenate(
+                    [frames_u8, np.zeros(pad_shape, frames_u8.dtype)]
+                )
+        key = (bp, h, w)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(b, h, w)
-        return self._jit_cache[key](
+            self._jit_cache[key] = self._build(bp, h, w)
+        out = self._jit_cache[key](
             self.detector.variables,
             self.encoder_variables,
             self.classifier_variables,
             frames_u8,
         )
+        if bp != b:
+            out = {
+                k: (v[:b] if k != "sat_counts" else v)
+                for k, v in out.items()
+            }
+        return out
 
     def identify(self, outputs, name_df, threshold):
         """Host post-pass: padded predictions -> per-frame name lists +
