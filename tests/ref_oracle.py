@@ -141,6 +141,24 @@ def install_torchvision_stub():
         backbone_utils
 
 
+def install_torchvision_resnet50():
+    """Give the torchvision stub a real ``models.resnet50`` with the
+    torchvision key layout, backed by the reference's own stock ResNet
+    implementation (resnet_2_branch_utils/resnet.py:68-165), so the
+    RetinaFace cfg_re50 oracle can build without real torchvision."""
+    install_torchvision_stub()
+    models_mod = sys.modules["torchvision.models"]
+    if hasattr(models_mod, "resnet50"):
+        return
+    resnet = load_ref_module("resnet_2_branch_utils.resnet")
+
+    def resnet50(pretrained=False, **kwargs):
+        assert not pretrained, "no network in tests"
+        return resnet.ResNet(resnet.Bottleneck, [3, 4, 6, 3], **kwargs)
+
+    models_mod.resnet50 = resnet50
+
+
 def load_ref_module(name):
     """Import e.g. 'mtcnn' or 'mtcnn_utils.detect_face' from the
     reference models dir under the 'refmodels' package."""

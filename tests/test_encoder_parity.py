@@ -92,6 +92,44 @@ def test_iresnet34_parity(rng):
 
 
 @pytest.mark.slow
+def test_iresnet100_parity(rng):
+    """iresnet100 is the production encoder config
+    (reference iresnet_encoder.py:194-196, cfg/embedding/
+    iresnet100_enc.json) — full-net parity at depth 100, where
+    depth-specific fc_scale/flatten mistakes would hide."""
+    from ref_oracle import load_ref_module
+
+    from vn_celeb_face_recognition_tpu.models import iresnet100
+
+    ref_mod = load_ref_module("iresnet_encoder")
+    torch.manual_seed(0)
+    ref = ref_mod.iresnet100(pretrained=False, freeze_weights=False)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = iresnet100()
+    variables = convert_state_dict(sd)
+    init_vars = model.init(
+        __import__("jax").random.PRNGKey(0), jnp.zeros((1, 112, 112, 3))
+    )
+    assert_tree_compatible(variables, init_vars)
+
+    x = rng.uniform(-1, 1, size=(2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    cs = cosine(got, want)
+    assert (cs > 0.9999).all(), f"cosine {cs}"
+    # random-init activations blow up to ~1e10 over 100 layers, so an
+    # absolute tolerance is meaningless — bound the error relative to
+    # the output magnitude instead
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-3, f"relative error {rel}"
+
+
+@pytest.mark.slow
 def test_resnet101_se_parity(rng):
     """SE-IR resnet101 (ArcFace-style alternative encoder) vs the
     reference torch model with shared random weights."""

@@ -61,6 +61,47 @@ def test_retinaface_head_outputs_match(ref_and_ours, rng):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_retinaface_resnet50_head_outputs_match(rng):
+    """cfg_re50 was the reference's production detector
+    (scripts/celeb_stat_dynamic_itv.sh:1-8) — full-net head parity for
+    the resnet50 trunk (retina_face.py:86-90), random shared weights
+    through the converter."""
+    import jax
+
+    from ref_oracle import install_torchvision_resnet50, load_ref_module
+
+    install_torchvision_resnet50()
+    ref_cfg = load_ref_module("retina_face_utils.config")
+    ref_cfg.cfg_re50["pretrain"] = False
+    ref_mod = load_ref_module("retina_face")
+    torch.manual_seed(0)
+    ref = ref_mod.RetinaFace(backbone_cfg="cfg_re50", phase="test",
+                             device="cpu")
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    net = RetinaFaceNet(backbone="Resnet50", out_channel=256,
+                        phase="test")
+    variables = convert_state_dict(sd)
+    init_vars = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 96, 96, 3)))
+    assert_tree_compatible(variables, init_vars)
+
+    x = rng.uniform(-120, 130, size=(1, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        want_loc, want_conf, want_ldm = ref(torch.from_numpy(x))
+    got_loc, got_conf, got_ldm = net.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got_loc), want_loc.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_conf), want_conf.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_ldm), want_ldm.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
 class _FixedNet:
     """Stub net returning fixed predictions — isolates the decode/
     top-k/NMS/vis-threshold postprocess for exact comparison."""
