@@ -7,9 +7,10 @@ linspace(0, 3, 11), align_face.py:91-119), the eye/nose/mouth
 geometric sanity check, and a resize-and-keep fallback recording the
 file into ``unknown.txt``.
 
-Landmark source: the reference used the external FAN 68-point CNN;
-here the detector's 5-point landmarks (MTCNN ONet by default) fill the
-role — the reference's parallel path already worked this way.
+Landmark source: the detector's 5-point landmarks (MTCNN ONet by
+default) — or the FAN 68-point network (models/fan.py, the reference's
+align_face.py:161 flow) with ``--fan_weights``; FAN landmarks pass the
+same geometric sanity gate after the 68->5 reduction.
 """
 
 import argparse
@@ -38,7 +39,18 @@ def gaussian_blur(img, sigma):
     return cv2.GaussianBlur(img, (k, k), sigma)
 
 
-def detect_landmarks(detector, rgb_image):
+def detect_landmarks(detector, rgb_image, fa_model=None):
+    """5-point landmarks for the (single) face: FAN 68->5 when a FAN
+    model is supplied (reference align_face.py:88-111), detector
+    landmarks otherwise. Returns None when unusable."""
+    if fa_model is not None:
+        from vn_celeb_face_recognition_tpu.models.fan import (
+            reduce_to_5_points,
+        )
+
+        pts68 = fa_model.get_landmarks(rgb_image)[0]
+        dst, sane = reduce_to_5_points(pts68)
+        return np.asarray(dst, np.float32) if sane else None
     boxes, probs, points = detector.inference(rgb_image, landmark=True)
     if len(boxes) == 0:
         return None
@@ -57,7 +69,7 @@ def face_image_from_landmarks(center_points, dst, img_rgb, output_dir,
 
 
 def align_face(input_dir, output_dir, aligned_size, detector,
-               center_points, unknown_file):
+               center_points, unknown_file, fa_model=None):
     import cv2
 
     n_no_face = 0
@@ -77,12 +89,12 @@ def align_face(input_dir, output_dir, aligned_size, detector,
         rgb_image = cv2.cvtColor(bgr_image, cv2.COLOR_BGR2RGB)
 
         have_face = False
-        dst = detect_landmarks(detector, rgb_image)
+        dst = detect_landmarks(detector, rgb_image, fa_model)
         if dst is None:
             print("Step 1: unknown {}".format(img_path))
             for sigma in np.linspace(0.0, 3.0, num=11):
                 image_aug = gaussian_blur(rgb_image, float(sigma))
-                dst = detect_landmarks(detector, image_aug)
+                dst = detect_landmarks(detector, image_aug, fa_model)
                 if dst is not None:
                     print("sigma {} help finding face".format(sigma))
                     if landmarks_geometrically_sane(dst):
@@ -123,6 +135,10 @@ if __name__ == "__main__":
     parser.add_argument("-det", "--detection", default="MTCNN", type=str)
     parser.add_argument("-dargs", "--detection_args",
                         default="cfg/detection/mtcnn.json", type=str)
+    parser.add_argument("--fan_weights", default=None, type=str,
+                        help="converted 2DFAN4 .npz -> use the FAN "
+                             "68-point landmarker (reference "
+                             "align_face.py:161)")
     args = parser.parse_args()
 
     from vn_celeb_face_recognition_tpu.utils import select_platform
@@ -135,8 +151,15 @@ if __name__ == "__main__":
     det_args.pop("device", None)
     detector = model_md.build_detector(args.detection, **det_args)
 
+    fa_model = None
+    if args.fan_weights:
+        from vn_celeb_face_recognition_tpu.models.fan import FANLandmarker
+
+        fa_model = FANLandmarker(weights_path=args.fan_weights)
+
     aligned_size = tuple(args.aligned_size)
     center_point = center_point_dict[str(aligned_size)]
     with open(args.un_face_file, "w") as unknown_file:
         align_face(args.input_dir, args.output_dir, aligned_size,
-                   detector, center_point, unknown_file)
+                   detector, center_point, unknown_file,
+                   fa_model=fa_model)

@@ -68,6 +68,10 @@ def build_arg_parser():
                    default="meta_data/emotion_recognition/etag2idx.pkl",
                    type=str)
     p.add_argument("--topk_emotions", default=6, type=int)
+    p.add_argument("--fan_weights", default=None, type=str,
+                   help="converted 2DFAN4 .npz; enables the reference's "
+                        "per-face FAN 68-point landmark flow in "
+                        "seq_fd_vs_aln (demo_image.py:366)")
     return p
 
 
@@ -116,9 +120,16 @@ def main(args):
             "min_dim": args.min_dim_box,
             "box_ratio": args.box_ratio,
         }
+        fa_model = None
+        if getattr(args, "fan_weights", None):
+            from vn_celeb_face_recognition_tpu.models.fan import (
+                FANLandmarker,
+            )
+
+            fa_model = FANLandmarker(weights_path=args.fan_weights)
         bth_alg_faces, bth_chosen_boxes = sequential_detect_and_align(
             rgb_images, detection_md, center_point, target_fs,
-            box_requirements, True,
+            box_requirements, True, fa_model=fa_model,
         )
     elif args.inference_method == "par_fd_vs_aln":
         bth_alg_faces, bth_chosen_boxes = parallel_detect_and_align(

@@ -18,6 +18,7 @@ from .mtcnn import MTCNN, PNet, RNet, ONet
 from .retinaface import RetinaFace
 from .resnet_2_branch import ResNet2Branch, resnet_2branch_50, \
     build_resnet_2branch_50
+from .fan import FAN, FANLandmarker, build_fan
 
 
 def build_model(name, **args):
@@ -69,6 +70,9 @@ __all__ = [
     "RetinaFace",
     "ResNet2Branch",
     "resnet_2branch_50",
+    "FAN",
+    "FANLandmarker",
+    "build_fan",
     "build_model",
     "build_detector",
 ]

@@ -379,11 +379,14 @@ def landmarks_geometrically_sane(pts):
 
 def sequential_detect_and_align(rgb_images, detection_md, center_point,
                                 target_fs, box_requirements=None,
-                                log=False):
+                                log=False, fa_model=None):
     """Detect boxes+landmarks, gate boxes, sanity-check landmarks, warp
-    (demo_image.py:242-270; landmark source is the detector itself, see
-    module docstring). Returns (per-image aligned-face lists, per-image
-    chosen boxes)."""
+    (demo_image.py:242-270). Landmark source: ``fa_model`` (a
+    models.fan.FANLandmarker, the reference's per-face 68-point CNN
+    flow, demo_image.py:201-234 with the 68->5 reduction) when given,
+    else the detector's own 5-point landmarks (the reference's
+    par_fd_vs_aln behaviour). Returns (per-image aligned-face lists,
+    per-image chosen boxes)."""
     if isinstance(rgb_images, np.ndarray) and rgb_images.ndim == 3:
         rgb_images = [rgb_images]
     bth_boxes, _, bth_landmarks = detection_md.inference(
@@ -398,10 +401,17 @@ def sequential_detect_and_align(rgb_images, detection_md, center_point,
                 rgb_image, boxes, box_requirements
             )
             for j, face in enumerate(list_face):
-                lm = move_landmark_to_box(
-                    boxes[face_idx[j]], landmarks[face_idx[j]]
-                )
-                if not landmarks_geometrically_sane(lm):
+                if fa_model is not None:
+                    from ..models.fan import reduce_to_5_points
+
+                    pts68 = fa_model.get_landmarks(face)[0]
+                    lm, sane = reduce_to_5_points(pts68)
+                else:
+                    lm = move_landmark_to_box(
+                        boxes[face_idx[j]], landmarks[face_idx[j]]
+                    )
+                    sane = landmarks_geometrically_sane(lm)
+                if not sane:
                     if log:
                         print("Landmarks failed the sanity check !")
                     continue
