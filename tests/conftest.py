@@ -1,22 +1,32 @@
 """Test configuration: run JAX on CPU with 8 virtual devices so
 multi-chip sharding tests run without TPU hardware (the standard JAX
-substitute for multi-host fakes; SURVEY.md section 4)."""
+substitute for multi-host fakes; SURVEY.md section 4).
+
+Opt-in device runs: ``VN_TPU_TESTS=1 python -m pytest -m tpu`` keeps
+the real TPU backend and runs only the ``tpu``-marked kernel
+regression tests (device output vs interpret mode). Everything else
+self-skips off-CPU; remember this rig's TPU is single-tenant — run one
+TPU job at a time."""
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+RUN_TPU_TESTS = os.environ.get("VN_TPU_TESTS") == "1"
+
+if not RUN_TPU_TESTS:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 # jax may already be imported (site customisation) with another platform
 # configured; the config update below still wins as long as no backend
 # has been initialised yet.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not RUN_TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
