@@ -102,6 +102,34 @@ def test_pnet_parity(mtcnn_weight_dir, rng, size):
     _run_pair(PNet(), oracle_pnet, sd, x, 2)
 
 
+@pytest.mark.parametrize("hw", [(14, 14), (15, 17), (33, 22), (101, 76)])
+def test_fused_pnet_matches_module(mtcnn_weight_dir, rng, hw):
+    """The cascade's space-to-depth conv1+PReLU+ceil-pool fusion must
+    equal the stock PNet module to float rounding on odd AND even
+    sizes (the ceil-pool edge sub-positions are where it would
+    break)."""
+    import jax.numpy as jnp
+
+    from vn_celeb_face_recognition_tpu.models.mtcnn import (
+        _fused_pnet_apply,
+        load_mtcnn_variables,
+    )
+
+    v = load_mtcnn_variables(mtcnn_weight_dir)["pnet"]
+    h, w = hw
+    x = jnp.asarray(
+        rng.uniform(-1, 1, size=(2, h, w, 3)).astype(np.float32)
+    )
+    want_reg, want_prob = PNet().apply(v, x)
+    got_reg, got_prob = _fused_pnet_apply(v, x, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got_reg),
+                               np.asarray(want_reg),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_prob),
+                               np.asarray(want_prob),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_rnet_parity(mtcnn_weight_dir, rng):
     sd = _sd(mtcnn_weight_dir, "rnet")
     x = torch.from_numpy(

@@ -1,0 +1,146 @@
+"""Stage-level TPU timing for the fused engine's budget table.
+
+Times, each as its own jitted program on the production bench shapes
+(640x640, batch 32, production capacity profile):
+
+  pyramid   — the 8 area-resize levels alone
+  pnet      — pyramid + PNet forwards (no box work)
+  cascade   — the full MTCNN detect program
+  warp      — window cut + Umeyama + Pallas warp for out_cap faces
+  engine    — the whole fused detect+align+embed+classify program
+
+Timing rules for this rig (CLAUDE.md): one TPU job at a time; fetch a
+scalar from the LAST output to drain the in-order queue —
+block_until_ready does not track remote completion.
+
+Usage: python tools/profile_cascade.py [--iters=10] [--stages=a,b,...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vn_celeb_face_recognition_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    from bench import build_frames
+    from vn_celeb_face_recognition_tpu.models import (
+        InceptionResnetV1,
+        MLPModel,
+        MTCNN,
+    )
+    from vn_celeb_face_recognition_tpu.ops.image import area_resize
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    iters = int(next((a.split("=")[1] for a in sys.argv
+                      if a.startswith("--iters=")), 10))
+    only = next((a.split("=")[1].split(",") for a in sys.argv
+                 if a.startswith("--stages=")), None)
+
+    batch, size = 32, 640
+    detector = MTCNN(min_face_size=50, keep_all=True,
+                     pnet_cap_per_scale=128, cross_cap=256, rnet_cap=64,
+                     onet_cap=32, out_cap=8, dtype=jnp.bfloat16)
+    encoder = InceptionResnetV1()
+    key = jax.random.PRNGKey(0)
+    enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))
+    classifier = MLPModel(input_dim=512, num_classes=1001)
+    clf_vars = classifier.init(key, jnp.zeros((1, 512)))
+    engine = FusedRecognitionEngine(
+        detector, encoder, enc_vars, classifier, clf_vars,
+        target_fs=112, compute_dtype=jnp.bfloat16,
+    )
+
+    frames = build_frames(batch, size, 4)
+    frames_dev = jax.device_put(frames)
+    det_vars = detector.variables
+
+    scales = detector._scales(size, size)
+    sizes = [(int(size * s + 1), int(size * s + 1)) for s in scales]
+
+    @jax.jit
+    def variant(x, i):
+        return jnp.roll(x, i * 3, axis=2)
+
+    def timeit(name, fn, *args):
+        out = fn(*args, 0)
+        _drain(out)
+        t0 = time.time()
+        for i in range(iters):
+            out = fn(*args, i)
+        _drain(out)
+        dt = (time.time() - t0) / iters * 1000.0
+        print(f"{name:>10}: {dt:8.2f} ms/chunk")
+        return dt
+
+    def _drain(out):
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        np.asarray(jax.device_get(leaf)).reshape(-1)[0]
+
+    def stage_pyramid(frames_u8, i):
+        imgs = variant(frames_u8, i).astype(jnp.bfloat16)
+        acc = jnp.zeros((), jnp.float32)
+        for hw in sizes:
+            im = area_resize(imgs, hw)
+            acc = acc + im[0, 0, 0, 0].astype(jnp.float32)
+        return acc
+
+    pnet = detector.pnet
+
+    def stage_pnet(variables, frames_u8, i):
+        imgs = variant(frames_u8, i).astype(jnp.bfloat16)
+        pv = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), variables["pnet"]
+        )
+        acc = jnp.zeros((), jnp.float32)
+        for hw in sizes:
+            im = area_resize(imgs, hw)
+            reg, prob = pnet.apply(pv, (im - 127.5) * 0.0078125)
+            acc = acc + prob[..., 1].sum().astype(jnp.float32) \
+                + reg.sum().astype(jnp.float32)
+        return acc
+
+    raw_detect = detector._build_detect_fn(batch, size, size)
+
+    def stage_cascade(variables, frames_u8, i):
+        out = raw_detect(variables, variant(frames_u8, i))
+        return out[0].sum() + out[1].sum()
+
+    def stage_engine(frames_u8, i):
+        out = engine.process(variant(frames_u8, i))
+        return out["scores"]
+
+    stages = {
+        "pyramid": lambda i=0: timeit(
+            "pyramid", jax.jit(stage_pyramid), frames_dev),
+        "pnet": lambda i=0: timeit(
+            "pnet", jax.jit(stage_pnet), det_vars, frames_dev),
+        "cascade": lambda i=0: timeit(
+            "cascade", jax.jit(stage_cascade), det_vars, frames_dev),
+        "engine": lambda i=0: timeit("engine", stage_engine, frames_dev),
+    }
+    for name, fn in stages.items():
+        if only and name not in only:
+            continue
+        fn()
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    os._exit(0)

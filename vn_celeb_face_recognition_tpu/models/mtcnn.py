@@ -211,6 +211,93 @@ def _stage1_bbreg(boxes, reg):
     )
 
 
+def _space_to_depth2(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C]; channel = p*2C + q*C + c for
+    row/col parities (p, q). H, W must be even."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _fused_pnet_apply(pvars, x, cdtype):
+    """PNet with conv1+PReLU+ceil-pool fused into ONE space-to-depth
+    2x2 conv — numerically exact, MXU-shaped.
+
+    The stock PNet spends its time in a [.., 3]->[.., 10] 3x3 conv at
+    FULL pyramid resolution followed by a 2x2 ceil-mode max pool:
+    tiny contraction (27), tiny output lane dim (10), and the biggest
+    intermediate of the whole cascade ([B, H-2, W-2, 10]) written then
+    immediately 4:1-reduced. Fusing pool into conv1: every pooled cell
+    (i, j) maxes the 4 conv outputs at (2i+di, 2j+dj), and all four
+    read input rows/cols 2i..2i+4 — i.e. one 2x2 kernel over the
+    space-to-depth input (12 channels) computing all 4 sub-position
+    outputs (40 channels) at POOLED resolution. PReLU is elementwise
+    (broadcast over the 4 sub-positions) and torch's ceil-mode pool
+    ignores out-of-range positions, which becomes a static -inf mask
+    on the sub-position axis before the max. 4x fewer output
+    positions, 48-wide contraction, 40-wide lanes, and the hot
+    intermediate shrinks ~4x. conv2/conv3/heads are unchanged
+    (reference mtcnn.py:9-49 semantics throughout).
+    """
+    p = pvars["params"]
+    w1 = p["conv1"]["kernel"].astype(cdtype)  # [3, 3, 3, 10]
+    b1 = p["conv1"]["bias"].astype(cdtype)
+    a1 = p["prelu1"]["alpha"].astype(cdtype)
+
+    bsz, h, w, _ = x.shape
+    h1, w1o = h - 2, w - 2  # conv1 VALID output
+    hp, wp = -(-h1 // 2), -(-w1o // 2)  # ceil-pool output
+    he, we = 2 * hp + 2, 2 * wp + 2
+    x = jnp.pad(x, ((0, 0), (0, he - h), (0, we - w), (0, 0)))
+
+    # scatter the 3x3x3->10 taps into the 2x2x12->40 s2d kernel:
+    # sub-position (di, dj) tap (ky, kx) lands at s2d cell
+    # ((di+ky)//2, (dj+kx)//2), channel parity ((di+ky)%2, (dj+kx)%2)
+    w2 = jnp.zeros((2, 2, 12, 4, 10), cdtype)
+    for di in range(2):
+        for dj in range(2):
+            for ky in range(3):
+                for kx in range(3):
+                    r, c = di + ky, dj + kx
+                    ch0 = (r % 2) * 6 + (c % 2) * 3
+                    w2 = w2.at[r // 2, c // 2, ch0:ch0 + 3,
+                               di * 2 + dj, :].set(w1[ky, kx])
+    w2 = w2.reshape(2, 2, 12, 40)
+
+    y = jax.lax.conv_general_dilated(
+        _space_to_depth2(x), w2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, hp, wp, 40]
+    y = y.reshape(bsz, hp, wp, 4, 10) + b1
+    y = jnp.where(y >= 0, y, a1 * y)  # PReLU
+    # ceil-mode pool: drop sub-positions past the conv output edge
+    # sub-position q = di*2 + dj -> row offsets [0,0,1,1],
+    # col offsets [0,1,0,1]
+    sub_r = jnp.arange(hp)[:, None] * 2 + jnp.array([0, 0, 1, 1])
+    sub_c = jnp.arange(wp)[:, None] * 2 + jnp.array([0, 1, 0, 1])
+    mask = (sub_r[:, None, :] < h1) & (sub_c[None, :, :] < w1o)
+    y = jnp.where(mask[None, :, :, :, None], y,
+                  jnp.asarray(-jnp.inf, y.dtype))
+    y = y.max(axis=3)  # [B, hp, wp, 10]
+
+    def conv(name, v, kernel_valid=True):
+        return jax.lax.conv_general_dilated(
+            v, p[name]["kernel"].astype(cdtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p[name]["bias"].astype(cdtype)
+
+    def prelu(v, name):
+        a = p[name]["alpha"].astype(cdtype)
+        return jnp.where(v >= 0, v, a * v)
+
+    y = prelu(conv("conv2", y), "prelu2")
+    y = prelu(conv("conv3", y), "prelu3")
+    a = jax.nn.softmax(conv("conv4_1", y), axis=-1)
+    b = conv("conv4_2", y)
+    return b, a
+
+
 class MTCNN:
     """Batched MTCNN detector with the reference's public surface.
 
@@ -239,6 +326,7 @@ class MTCNN:
         onet_cap=128,
         out_cap=64,
         dtype=jnp.float32,
+        fast_pnet=True,
     ):
         self.image_size = image_size
         self.margin = margin
@@ -257,6 +345,10 @@ class MTCNN:
         self.onet_cap = onet_cap
         self.out_cap = out_cap
         self.dtype = dtype
+        # fuse conv1+PReLU+ceil-pool into one space-to-depth conv in
+        # the cascade's stage 1 (numerically exact; see
+        # _fused_pnet_apply)
+        self.fast_pnet = fast_pnet
 
         self.pnet = PNet()
         self.rnet = RNet()
@@ -322,9 +414,17 @@ class MTCNN:
                 hs = int(h * scale + 1)
                 ws = int(w * scale + 1)
                 im = area_resize(imgs.astype(cdtype), (hs, ws))
-                reg, probs = net_apply(
-                    pnet, variables["pnet"], _normalize(im)
-                )
+                if self.fast_pnet:
+                    reg, probs = _fused_pnet_apply(
+                        variables["pnet"],
+                        _normalize(im).astype(cdtype), cdtype,
+                    )
+                    reg = reg.astype(jnp.float32)
+                    probs = probs.astype(jnp.float32)
+                else:
+                    reg, probs = net_apply(
+                        pnet, variables["pnet"], _normalize(im)
+                    )
                 hc, wc = reg.shape[1], reg.shape[2]
                 boxes, score, reg, valid = _stage1_boxes(
                     probs[..., 1], reg, scale, hc, wc, thr[0]
