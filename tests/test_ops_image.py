@@ -28,6 +28,20 @@ def test_area_resize_upscale_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+def test_pyramid_area_resize_matches_per_level(rng):
+    """The plane-major multi-level pyramid pass equals per-level
+    area_resize (and hence torch 'area' semantics) to f32 rounding."""
+    x = rng.uniform(0, 255, size=(2, 97, 83, 3)).astype(np.float32)
+    sizes = [(24, 21), (17, 15), (12, 10), (97, 83)]
+    outs = I.pyramid_area_resize(jnp.asarray(x), sizes)
+    assert len(outs) == len(sizes)
+    for hw, got in zip(sizes, outs):
+        want = np.asarray(I.area_resize(jnp.asarray(x), hw))
+        assert got.shape == (2,) + hw + (3,)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_warp_affine_matches_cv2(rng):
     cv2 = pytest.importorskip("cv2")
     img = rng.uniform(0, 255, size=(64, 80, 3)).astype(np.float32)

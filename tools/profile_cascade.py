@@ -42,7 +42,19 @@ def main():
         MLPModel,
         MTCNN,
     )
-    from vn_celeb_face_recognition_tpu.ops.image import area_resize
+    from vn_celeb_face_recognition_tpu.models.mtcnn import (
+        _fused_pnet_apply,
+    )
+    from vn_celeb_face_recognition_tpu.ops.image import (
+        fixed_image_standardization,
+        pyramid_area_resize,
+    )
+    from vn_celeb_face_recognition_tpu.ops.similarity import (
+        umeyama_similarity,
+    )
+    from vn_celeb_face_recognition_tpu.ops.warp_pallas import (
+        batched_similarity_warp_pallas,
+    )
     from vn_celeb_face_recognition_tpu.pipeline.engine import (
         FusedRecognitionEngine,
     )
@@ -95,22 +107,18 @@ def main():
     def stage_pyramid(frames_u8, i):
         imgs = variant(frames_u8, i).astype(jnp.bfloat16)
         acc = jnp.zeros((), jnp.float32)
-        for hw in sizes:
-            im = area_resize(imgs, hw)
+        for im in pyramid_area_resize(imgs, sizes):
             acc = acc + im[0, 0, 0, 0].astype(jnp.float32)
         return acc
 
-    pnet = detector.pnet
-
     def stage_pnet(variables, frames_u8, i):
         imgs = variant(frames_u8, i).astype(jnp.bfloat16)
-        pv = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16), variables["pnet"]
-        )
         acc = jnp.zeros((), jnp.float32)
-        for hw in sizes:
-            im = area_resize(imgs, hw)
-            reg, prob = pnet.apply(pv, (im - 127.5) * 0.0078125)
+        for im in pyramid_area_resize(imgs, sizes):
+            reg, prob = _fused_pnet_apply(
+                variables["pnet"], (im - 127.5) * 0.0078125,
+                jnp.bfloat16,
+            )
             acc = acc + prob[..., 1].sum().astype(jnp.float32) \
                 + reg.sum().astype(jnp.float32)
         return acc
@@ -125,13 +133,94 @@ def main():
         out = engine.process(variant(frames_u8, i))
         return out["scores"]
 
+    # ---- align (window cut + Umeyama + Pallas warp) on synthetic
+    # boxes/landmarks at the engine's face capacity ----
+    kfaces = batch * detector.out_cap
+    gen = np.random.default_rng(0)
+    cx = gen.uniform(120, size - 120, kfaces).astype(np.float32)
+    cy = gen.uniform(120, size - 120, kfaces).astype(np.float32)
+    lm_t = np.asarray(
+        [[-30, -30], [30, -30], [0, 0], [-25, 30], [25, 30]], np.float32
+    )
+    lms = (np.stack([cx, cy], -1)[:, None, :] + lm_t[None]
+           + gen.normal(scale=3.0, size=(kfaces, 5, 2))).astype(
+               np.float32)
+    image_idx = np.repeat(np.arange(batch, dtype=np.int32),
+                          detector.out_cap)
+    template = jnp.asarray(engine.template)
+    win = engine.face_window
+
+    def stage_warp(frames_u8, lms_in, idx_in, i):
+        frames = variant(frames_u8, i).astype(jnp.float32)
+        ox = jnp.clip(jnp.round(lms_in[:, 2, 0] - win / 2), 0,
+                      size - win)
+        oy = jnp.clip(jnp.round(lms_in[:, 2, 1] - win / 2), 0,
+                      size - win)
+
+        def cut(idx, oyi, oxi):
+            return jax.lax.dynamic_slice(
+                frames, (idx, oyi.astype(jnp.int32),
+                         oxi.astype(jnp.int32), 0), (1, win, win, 3)
+            )[0]
+
+        windows = jax.vmap(cut)(idx_in, oy, ox)
+        local = lms_in - jnp.stack([ox, oy], -1)[:, None, :]
+        mats = jax.vmap(
+            lambda l: umeyama_similarity(l, template)
+        )(local)
+        faces = batched_similarity_warp_pallas(windows, mats, 112)
+        return faces.sum()
+
+    faces_fixed = jnp.asarray(
+        gen.uniform(0, 255, size=(kfaces, 112, 112, 3)).astype(
+            np.float32)
+    )
+
+    def stage_embed(enc_v, clf_v, faces_in, i):
+        x = fixed_image_standardization(
+            faces_in + jnp.float32(i)).astype(jnp.bfloat16)
+        emb = encoder.apply(enc_v, x, train=False).astype(jnp.float32)
+        logp = classifier.apply(clf_v, emb, train=False)
+        return logp.sum()
+
+    def stage_noop(frames_u8, i):
+        # isolates the per-iteration variant-roll cost every other
+        # stage also pays
+        return variant(frames_u8, i)[0, 0, 0, 0].astype(jnp.float32)
+
+    def stage_cut(frames_u8, lms_in, idx_in, i):
+        frames = variant(frames_u8, i).astype(jnp.float32)
+        ox = jnp.clip(jnp.round(lms_in[:, 2, 0] - win / 2), 0,
+                      size - win)
+        oy = jnp.clip(jnp.round(lms_in[:, 2, 1] - win / 2), 0,
+                      size - win)
+
+        def cut(idx, oyi, oxi):
+            return jax.lax.dynamic_slice(
+                frames, (idx, oyi.astype(jnp.int32),
+                         oxi.astype(jnp.int32), 0), (1, win, win, 3)
+            )[0]
+
+        return jax.vmap(cut)(idx_in, oy, ox).sum()
+
     stages = {
+        "noop": lambda i=0: timeit(
+            "noop", jax.jit(stage_noop), frames_dev),
+        "cut": lambda i=0: timeit(
+            "cut", jax.jit(stage_cut), frames_dev,
+            jnp.asarray(lms), jnp.asarray(image_idx)),
         "pyramid": lambda i=0: timeit(
             "pyramid", jax.jit(stage_pyramid), frames_dev),
         "pnet": lambda i=0: timeit(
             "pnet", jax.jit(stage_pnet), det_vars, frames_dev),
         "cascade": lambda i=0: timeit(
             "cascade", jax.jit(stage_cascade), det_vars, frames_dev),
+        "warp": lambda i=0: timeit(
+            "warp", jax.jit(stage_warp), frames_dev,
+            jnp.asarray(lms), jnp.asarray(image_idx)),
+        "embed": lambda i=0: timeit(
+            "embed", jax.jit(stage_embed), enc_vars, clf_vars,
+            faces_fixed),
         "engine": lambda i=0: timeit("engine", stage_engine, frames_dev),
     }
     for name, fn in stages.items():

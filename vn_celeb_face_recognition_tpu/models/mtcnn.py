@@ -36,7 +36,11 @@ import numpy as np
 import flax.linen as nn
 
 from ..ops import boxes as B
-from ..ops.image import area_resize, grouped_crop_area_resize
+from ..ops.image import (
+    area_resize,
+    grouped_crop_area_resize,
+    pyramid_area_resize,
+)
 from .layers import PReLU, max_pool_ceil
 
 
@@ -410,10 +414,15 @@ class MTCNN:
             sat_s1 = jnp.zeros((), jnp.int32)
 
             # ---- stage 1: pyramid + PNet + per-scale NMS(0.5) ----
-            for scale in scales:
-                hs = int(h * scale + 1)
-                ws = int(w * scale + 1)
-                im = area_resize(imgs.astype(cdtype), (hs, ws))
+            # all levels' resizes in one plane-major pass (the naive
+            # per-level channels-minor einsums cost ~4 ms/chunk alone)
+            level_sizes = [
+                (int(h * s + 1), int(w * s + 1)) for s in scales
+            ]
+            pyramid = pyramid_area_resize(
+                imgs.astype(cdtype), level_sizes
+            )
+            for scale, im in zip(scales, pyramid):
                 if self.fast_pnet:
                     reg, probs = _fused_pnet_apply(
                         variables["pnet"],

@@ -67,6 +67,37 @@ def area_resize(images, out_hw):
     return out[0] if squeeze else out
 
 
+def pyramid_area_resize(images, sizes):
+    """All pyramid levels of an exact area resize in one plane-major
+    pass: ``images`` [N, H, W, C] -> list of [N, oh, ow, C].
+
+    Same per-level weights/sums as :func:`area_resize`, but laid out
+    for the TPU: channels fold into the batch ([N*C, H, W] planes keep
+    the 640-wide W on the lane dim instead of the 3-wide C, which
+    otherwise tiles 3->128), and the row contractions of ALL levels
+    run as ONE [sum(oh), H] GEMM against each plane. Per-level column
+    GEMMs then act on small row-slices. Measured on the cascade bench
+    (8 levels of [32, 640, 640, 3]): ~4.0 ms -> well under 1 ms.
+    """
+    n, h, w, c = images.shape
+    dt = images.dtype
+    whs = [np.asarray(_area_weights(h, oh)) for oh, _ in sizes]
+    offs = np.cumsum([0] + [m.shape[0] for m in whs])
+    wrow = jnp.asarray(np.concatenate(whs, axis=0)).astype(dt)
+
+    planes = jnp.transpose(images, (0, 3, 1, 2)).reshape(n * c, h, w)
+    rows = jnp.einsum("oh,bhw->bow", wrow, planes)
+    outs = []
+    for idx, (oh, ow) in enumerate(sizes):
+        wcol = jnp.asarray(_area_weights(w, ow)).astype(dt)
+        lvl = jnp.einsum("pw,bow->bop", wcol,
+                         rows[:, offs[idx]:offs[idx + 1], :])
+        outs.append(
+            jnp.transpose(lvl.reshape(n, c, oh, ow), (0, 2, 3, 1))
+        )
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # Bilinear gather helpers
 # ---------------------------------------------------------------------------
