@@ -108,9 +108,15 @@ def main():
     classifier = MLPModel(input_dim=512, num_classes=1001)
     clf_vars = classifier.init(key, jnp.zeros((1, 512)))
 
+    # global align/embed budget: 4 faces/frame pasted, 25% headroom;
+    # the engine warns + reports face_cap_overflow if a chunk exceeds
+    # it (compaction is output-identical below the cap)
+    face_cap = int(float(next((a.split("=")[1] for a in sys.argv
+                               if a.startswith("--face_cap=")),
+                              batch * faces_per_frame + batch)))
     engine = FusedRecognitionEngine(
         detector, encoder, enc_vars, classifier, clf_vars,
-        target_fs=112, compute_dtype=jnp.bfloat16,
+        target_fs=112, compute_dtype=jnp.bfloat16, face_cap=face_cap,
     )
 
     frames = build_frames(batch, size, faces_per_frame)

@@ -164,7 +164,8 @@ def get_video_fps(video_path):
     return fps
 
 
-def build_fused_engine(models, target_fs, emotion_topk=6):
+def build_fused_engine(models, target_fs, emotion_topk=6,
+                       face_cap=None):
     """Fused single-program engine over the loaded models (MTCNN
     detector path). When the emotion model is loaded it fuses into the
     same device program (reference emotion flow: demo_image.py:79-110
@@ -185,7 +186,7 @@ def build_fused_engine(models, target_fs, emotion_topk=6):
         detection_md,
         emb_model.module, emb_model.variables,
         classify_model.module, classify_model.variables,
-        target_fs=target_fs[0],
+        target_fs=target_fs[0], face_cap=face_cap,
         **emotion_kwargs,
     )
 
@@ -209,8 +210,10 @@ def process_video(args, models, target_fs, center_point, threshold,
             print("fused engine: requires the MTCNN detector; falling "
                   "back")
         else:
-            engine = build_fused_engine(models, target_fs,
-                                        args.topk_emotions)
+            engine = build_fused_engine(
+                models, target_fs, args.topk_emotions,
+                face_cap=getattr(args, "face_cap", None),
+            )
 
     if not os.path.exists(args.output_frame):
         os.makedirs(args.output_frame)
@@ -387,6 +390,10 @@ def build_arg_parser():
     p.add_argument("--fused_engine", action="store_true",
                    help="run detect+align+embed+classify as one fused "
                         "device program per frame chunk")
+    p.add_argument("--face_cap", default=None, type=int,
+                   help="global align/embed face budget per chunk for "
+                        "the fused engine (compaction; warns on "
+                        "overflow)")
     p.add_argument("-of", "--output_frame", default="output_frame",
                    type=str)
     # rename the image CLI's -i to the video path

@@ -178,6 +178,83 @@ def test_fused_engine_sharded_matches_single(rng):
     assert sharded["boxes"].shape[0] == 6
 
 
+def test_fused_engine_face_cap_compaction(rng):
+    """face_cap gathers the top-G slots across the chunk: with the
+    budget >= the valid-face count, pred/prob/embeddings on VALID
+    slots equal the uncapped engine; with a tiny budget, identify()
+    raises the overflow warning."""
+    import glob
+    import warnings
+
+    import flax.linen as nn
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.models import MLPModel, MTCNN
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    face = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((80, 80))
+    )
+
+    class TinyEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            return nn.Dense(512)(jnp.mean(x, axis=(1, 2)))
+
+    key = jax.random.PRNGKey(0)
+    enc = TinyEnc()
+    enc_vars = enc.init(key, jnp.zeros((1, 112, 112, 3)))
+    clf = MLPModel(input_dim=512, num_classes=16)
+    clf_vars = clf.init(key, jnp.zeros((1, 512)))
+
+    def build(cap):
+        det = MTCNN(min_face_size=40, keep_all=True,
+                    pnet_cap_per_scale=128, rnet_cap=64, onet_cap=32,
+                    out_cap=4)
+        return FusedRecognitionEngine(det, enc, enc_vars, clf, clf_vars,
+                                      target_fs=112, face_cap=cap)
+
+    frames = np.full((4, 160, 160, 3), 80, dtype=np.uint8)
+    for i in range(4):
+        frames[i, 20:100, 10 * i:80 + 10 * i] = face
+
+    full = jax.device_get(build(None).process(frames))
+    capped = jax.device_get(build(8).process(frames))  # 8 < 4*4 slots
+
+    nvalid = int(full["valid"].sum())
+    assert nvalid >= 4
+    assert nvalid <= 8  # budget covers every valid face
+    np.testing.assert_array_equal(capped["valid"], full["valid"])
+    v = full["valid"].astype(bool)
+    np.testing.assert_array_equal(capped["pred"][v], full["pred"][v])
+    np.testing.assert_allclose(capped["prob"][v], full["prob"][v],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(capped["embeddings"][v],
+                               full["embeddings"][v],
+                               rtol=1e-5, atol=1e-5)
+    assert int(capped["face_cap_overflow"]) == 0
+
+    # overflow: budget below the valid count drops faces and warns
+    tiny_engine = build(2)
+    tiny = tiny_engine.process(frames)
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"label": range(16), "name": [f"P{i}" for i in range(16)]}
+    )
+    assert int(jax.device_get(tiny["face_cap_overflow"])) == nvalid - 2
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tiny_engine.identify(tiny, df, 0.0)
+    assert any("face_cap" in str(w.message) for w in caught)
+
+
 def test_fused_engine_emotion_head(rng):
     """Optional emotion branch: top-k indices/probs per padded face
     slot, fused into the same program."""

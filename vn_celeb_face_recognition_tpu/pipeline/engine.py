@@ -56,6 +56,16 @@ class FusedRecognitionEngine:
         reference's single-GPU video loop, demo_video.py:86-192).
         Chunks whose batch is not divisible by the data axis are padded
         with blank frames and the outputs sliced back.
+      face_cap: global align+embed face budget per chunk. The detector
+        emits B*out_cap padded slots but typical occupancy is far
+        lower; with a cap G < B*out_cap the engine gathers the top-G
+        slots by (validity, score) across the WHOLE chunk, runs
+        warp+encoder+classifier (+emotion) on those G only, and
+        scatters results back — identical outputs whenever the chunk's
+        valid-face count fits the budget (every valid slot outranks
+        every padded one), and a ``face_cap_overflow`` count (surfaced
+        as a warning in :meth:`identify`) when it doesn't. None = no
+        compaction.
     """
 
     def __init__(self, detector, encoder, encoder_variables, classifier,
@@ -63,7 +73,7 @@ class FusedRecognitionEngine:
                  compute_dtype=jnp.float32, face_window=224,
                  use_pallas_warp=None, emotion=None,
                  emotion_variables=None, emotion_size=224,
-                 emotion_topk=6, mesh=None):
+                 emotion_topk=6, mesh=None, face_cap=None):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -91,6 +101,7 @@ class FusedRecognitionEngine:
         self.emotion_size = int(emotion_size)
         self.emotion_topk = int(emotion_topk)
         self.mesh = mesh
+        self.face_cap = None if face_cap is None else int(face_cap)
         self._jit_cache = {}
         # keep detector weights resident on device (numpy inputs would
         # re-upload per call); under a mesh every weight tree is
@@ -133,6 +144,8 @@ class FusedRecognitionEngine:
         emotion_size = self.emotion_size
         emotion_topk = self.emotion_topk
 
+        face_cap = self.face_cap
+
         def run(det_vars, enc_vars, clf_vars, frames_u8):
             det_out = raw_detect(det_vars, frames_u8)
             boxes, score, points, valid = det_out[:4]
@@ -142,6 +155,22 @@ class FusedRecognitionEngine:
             flat_pts = points.reshape(b * k, 5, 2)
             flat_boxes = boxes.reshape(b * k, 4)
             image_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+            # global face compaction: gather the top-face_cap slots by
+            # (validity, score) across the chunk so the align/embed
+            # stages only pay for faces that exist
+            sel = None
+            overflow = None
+            if face_cap is not None and face_cap < b * k:
+                flat_valid = valid.reshape(b * k)
+                selkey = (flat_valid.astype(jnp.float32) * 2.0
+                          + score.reshape(b * k))
+                _, sel = jax.lax.top_k(selkey, face_cap)
+                flat_pts = flat_pts[sel]
+                flat_boxes = flat_boxes[sel]
+                image_idx = image_idx[sel]
+                overflow = jnp.maximum(
+                    flat_valid.sum(dtype=jnp.int32) - face_cap, 0
+                )
             frames = frames_u8.astype(jnp.float32)
 
             # cut a fixed window around each face (contiguous slice),
@@ -179,6 +208,14 @@ class FusedRecognitionEngine:
             prob = jnp.exp(
                 jnp.take_along_axis(logp, pred[:, None], axis=-1)[:, 0]
             )
+            if sel is not None:
+                # scatter compacted results back to the padded layout
+                # (dropped slots are invalid; identify never reads them)
+                pred = jnp.zeros((b * k,), pred.dtype).at[sel].set(pred)
+                prob = jnp.zeros((b * k,), prob.dtype).at[sel].set(prob)
+                emb = jnp.zeros(
+                    (b * k, emb.shape[-1]), emb.dtype
+                ).at[sel].set(emb)
             out = {
                 "boxes": boxes,
                 "scores": score,
@@ -188,6 +225,8 @@ class FusedRecognitionEngine:
                 "prob": prob.reshape(b, k),
                 "embeddings": emb.reshape(b, k, -1),
             }
+            if overflow is not None:
+                out["face_cap_overflow"] = overflow
             if sat is not None:
                 out["sat_counts"] = sat
             if emotion is not None:
@@ -199,6 +238,13 @@ class FusedRecognitionEngine:
                 logits = logits.astype(jnp.float32)
                 eprob = jax.nn.softmax(logits, axis=-1)
                 top_p, top_idx = jax.lax.top_k(eprob, emotion_topk)
+                if sel is not None:
+                    top_idx = jnp.zeros(
+                        (b * k, emotion_topk), top_idx.dtype
+                    ).at[sel].set(top_idx)
+                    top_p = jnp.zeros(
+                        (b * k, emotion_topk), top_p.dtype
+                    ).at[sel].set(top_p)
                 out["emotion_idx"] = top_idx.reshape(b, k, emotion_topk)
                 out["emotion_prob"] = top_p.reshape(b, k, emotion_topk)
             return out
@@ -242,8 +288,9 @@ class FusedRecognitionEngine:
             frames_u8,
         )
         if bp != b:
+            scalar_keys = ("sat_counts", "face_cap_overflow")
             out = {
-                k: (v[:b] if k != "sat_counts" else v)
+                k: (v[:b] if k not in scalar_keys else v)
                 for k, v in out.items()
             }
         return out
@@ -259,6 +306,16 @@ class FusedRecognitionEngine:
             self.detector, "warn_capacity_saturation"
         ):
             self.detector.warn_capacity_saturation(outs["sat_counts"])
+        if int(outs.get("face_cap_overflow", 0)) > 0:
+            import warnings
+
+            warnings.warn(
+                f"engine face_cap={self.face_cap} overflowed by "
+                f"{int(outs['face_cap_overflow'])} valid faces this "
+                "chunk — lowest-score faces were dropped; raise "
+                "face_cap.",
+                stacklevel=2,
+            )
         has_emotion = "emotion_idx" in outs
         results = []
         for i in range(outs["valid"].shape[0]):
