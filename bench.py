@@ -120,15 +120,18 @@ def main():
     )
 
     frames = build_frames(batch, size, faces_per_frame)
-    frames_dev = jax.device_put(frames)
-
-    # per-iteration frames vary ON DEVICE (roll keeps faces intact)
-    @jax.jit
-    def variant(x, i):
-        return jnp.roll(x, i * 3, axis=2)
+    # two distinct pre-uploaded chunks alternate per iteration: frames
+    # still vary call-to-call, but no device-side transform rides
+    # inside the timed region (a real TPU host streams fresh frames
+    # over PCIe without spending chip compute; the old on-device roll
+    # charged ~2 ms/chunk of pure benchmark artifact to the pipeline)
+    chunk_devs = [
+        jax.device_put(frames),
+        jax.device_put(np.roll(frames, 97, axis=2)),
+    ]
 
     # warmup / compile; the fetch forces real remote execution
-    out = engine.process(variant(frames_dev, 0))
+    out = engine.process(chunk_devs[0])
     valid_per_chunk = int(np.asarray(jax.device_get(out["valid"])).sum())
 
     # measure the warm host->device path (the dev-relay tunnel on this
@@ -146,7 +149,7 @@ def main():
     # queue and bounds the true end-to-end time.
     t0 = time.time()
     for i in range(iters):
-        out = engine.process(variant(frames_dev, i))
+        out = engine.process(chunk_devs[i % 2])
     float(np.asarray(jax.device_get(out["scores"]))[0, 0])
     dt = time.time() - t0
 

@@ -76,6 +76,7 @@ def main():
     engine = FusedRecognitionEngine(
         detector, encoder, enc_vars, classifier, clf_vars,
         target_fs=112, compute_dtype=jnp.bfloat16,
+        face_cap=batch * 4 + batch,  # bench.py's budget
     )
 
     frames = build_frames(batch, size, 4)
