@@ -255,6 +255,67 @@ def test_fused_engine_face_cap_compaction(rng):
     assert any("face_cap" in str(w.message) for w in caught)
 
 
+def test_fused_engine_sharded_with_face_cap(rng):
+    """Compaction's global top-k spans the sharded batch: mesh +
+    face_cap together must still equal the plain single-device
+    engine on valid slots (XLA inserts the cross-shard collectives)."""
+    import glob
+
+    import flax.linen as nn
+    from PIL import Image
+
+    from vn_celeb_face_recognition_tpu.models import MLPModel, MTCNN
+    from vn_celeb_face_recognition_tpu.parallel import make_mesh
+    from vn_celeb_face_recognition_tpu.pipeline.engine import (
+        FusedRecognitionEngine,
+    )
+
+    files = sorted(glob.glob("/root/reference/data/*.png"))
+    if not files:
+        pytest.skip("reference toy images unavailable")
+    face = np.asarray(
+        Image.open(files[0]).convert("RGB").resize((80, 80))
+    )
+
+    class TinyEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            return nn.Dense(512)(jnp.mean(x, axis=(1, 2)))
+
+    key = jax.random.PRNGKey(0)
+    enc = TinyEnc()
+    enc_vars = enc.init(key, jnp.zeros((1, 112, 112, 3)))
+    clf = MLPModel(input_dim=512, num_classes=16)
+    clf_vars = clf.init(key, jnp.zeros((1, 512)))
+
+    def build(mesh, cap):
+        det = MTCNN(min_face_size=40, keep_all=True,
+                    pnet_cap_per_scale=128, rnet_cap=64, onet_cap=32,
+                    out_cap=4)
+        return FusedRecognitionEngine(det, enc, enc_vars, clf, clf_vars,
+                                      target_fs=112, mesh=mesh,
+                                      face_cap=cap)
+
+    frames = np.full((8, 160, 160, 3), 80, dtype=np.uint8)
+    for i in range(8):
+        frames[i, 20:100, 8 * i:80 + 8 * i] = face
+
+    single = jax.device_get(build(None, None).process(frames))
+    mesh = make_mesh(n_data=8, n_model=1)
+    capped = jax.device_get(build(mesh, 16).process(frames))
+
+    nvalid = int(single["valid"].sum())
+    assert 8 <= nvalid <= 16
+    np.testing.assert_array_equal(capped["valid"], single["valid"])
+    v = single["valid"].astype(bool)
+    np.testing.assert_array_equal(capped["pred"][v], single["pred"][v])
+    np.testing.assert_allclose(capped["embeddings"][v],
+                               single["embeddings"][v],
+                               rtol=1e-4, atol=1e-4)
+    assert int(capped["face_cap_overflow"]) == 0
+
+
 def test_fused_engine_emotion_head(rng):
     """Optional emotion branch: top-k indices/probs per padded face
     slot, fused into the same program."""

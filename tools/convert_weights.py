@@ -5,6 +5,13 @@ Usage:
   python tools/convert_weights.py generic --src model.pth --dst model.npz
       [--strip-prefix module.]
 
+``generic`` handles every published release this stack consumes —
+facenet vggface2/casia, iresnet100, RetinaFace (pass
+``--strip-prefix module.`` for DataParallel-saved files), the emotion
+resnet50 2-branch (same flag), and the face_alignment 2DFAN4
+landmark checkpoint (tests/test_weight_manifest.py and
+tests/test_fan_parity.py pin the exact key manifests offline).
+
 The .npz holds the RAW torch state_dict tensors keyed by their torch
 names; models convert at load time via models/torch_convert (keeping
 one canonical converter). torch is only needed to RUN this tool — the

@@ -61,6 +61,8 @@ def main():
 
     iters = int(next((a.split("=")[1] for a in sys.argv
                       if a.startswith("--iters=")), 10))
+    nf = int(next((a.split("=")[1] for a in sys.argv
+                   if a.startswith("--nf=")), 2))
     only = next((a.split("=")[1].split(",") for a in sys.argv
                  if a.startswith("--stages=")), None)
 
@@ -169,7 +171,8 @@ def main():
         mats = jax.vmap(
             lambda l: umeyama_similarity(l, template)
         )(local)
-        faces = batched_similarity_warp_pallas(windows, mats, 112)
+        faces = batched_similarity_warp_pallas(windows, mats, 112,
+                                               faces_per_step=nf)
         return faces.sum()
 
     faces_fixed = jnp.asarray(

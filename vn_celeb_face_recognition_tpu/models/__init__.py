@@ -37,6 +37,9 @@ def build_model(name, **args):
     }
     if name not in builders:
         raise KeyError(f"Unknown model '{name}'")
+    # reference config files carry torch-hub's download-progress flag
+    # (cfg/embedding/iresnet100_enc.json); it has no meaning here
+    args.pop("progress", None)
     return builders[name](**args)
 
 
