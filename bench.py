@@ -102,7 +102,7 @@ def main():
                          pnet_cap_per_scale=128, cross_cap=256,
                          rnet_cap=64, onet_cap=32, out_cap=8,
                          dtype=jnp.bfloat16)
-    encoder = InceptionResnetV1()
+    encoder = InceptionResnetV1(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))
     classifier = MLPModel(input_dim=512, num_classes=1001)

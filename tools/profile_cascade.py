@@ -70,7 +70,7 @@ def main():
     detector = MTCNN(min_face_size=50, keep_all=True,
                      pnet_cap_per_scale=128, cross_cap=256, rnet_cap=64,
                      onet_cap=32, out_cap=8, dtype=jnp.bfloat16)
-    encoder = InceptionResnetV1()
+    encoder = InceptionResnetV1(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))
     classifier = MLPModel(input_dim=512, num_classes=1001)
@@ -207,9 +207,54 @@ def main():
 
         return jax.vmap(cut)(idx_in, oy, ox).sum()
 
+    # ---- cascade sub-stages: crop einsums, NMS fixpoints, topk+gather
+    from vn_celeb_face_recognition_tpu.ops import boxes as B
+    from vn_celeb_face_recognition_tpu.ops.image import (
+        grouped_crop_area_resize,
+    )
+
+    def _rand_boxes(key, bsz, kk):
+        k1, k2 = jax.random.split(key)
+        xy = jax.random.uniform(k1, (bsz, kk, 2), minval=1.0,
+                                maxval=size - 120.0)
+        wh = jax.random.uniform(k2, (bsz, kk, 2), minval=30.0,
+                                maxval=118.0)
+        bx = jnp.concatenate([xy, xy + wh], -1)
+        return jnp.round(bx)
+
+    bx2 = _rand_boxes(jax.random.PRNGKey(1), batch, detector.rnet_cap)
+    bx3 = _rand_boxes(jax.random.PRNGKey(2), batch, detector.onet_cap)
+    bxx = _rand_boxes(jax.random.PRNGKey(3), batch, detector.cross_cap)
+    scx = jax.random.uniform(jax.random.PRNGKey(4),
+                             (batch, detector.cross_cap))
+    vlx = jnp.ones(scx.shape, bool)
+
+    def stage_crops(frames_u8, b2, b3, i):
+        imgs = variant(frames_u8, i).astype(jnp.float32)
+        c2 = grouped_crop_area_resize(imgs, b2, 24)
+        c3 = grouped_crop_area_resize(imgs, b3, 48)
+        return c2.sum() + c3.sum()
+
+    def stage_nms(bxs, scs, vls, i):
+        keep = B.batched_nms_keep_mask(bxs + i, scs, vls, 0.7)
+        return keep.sum()
+
+    def stage_topkg(bxs, scs, vls, i):
+        def one(bx, sc, vl):
+            idx, still = B.top_k_select(sc + i, vl, detector.rnet_cap)
+            return bx[idx], sc[idx], still
+        b, s, v = jax.vmap(one)(bxs, scs, vls)
+        return b.sum() + s.sum() + v.sum()
+
     stages = {
         "noop": lambda i=0: timeit(
             "noop", jax.jit(stage_noop), frames_dev),
+        "crops": lambda i=0: timeit(
+            "crops", jax.jit(stage_crops), frames_dev, bx2, bx3),
+        "nms": lambda i=0: timeit(
+            "nms", jax.jit(stage_nms), bxx, scx, vlx),
+        "topkg": lambda i=0: timeit(
+            "topkg", jax.jit(stage_topkg), bxx, scx, vlx),
         "cut": lambda i=0: timeit(
             "cut", jax.jit(stage_cut), frames_dev,
             jnp.asarray(lms), jnp.asarray(image_idx)),

@@ -30,64 +30,75 @@ class Branch(nn.Module):
     nn.Sequential naming)."""
 
     specs: Tuple[Tuple[int, Any, Any, Any], ...]  # (feat, kernel, stride, pad)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (feat, kernel, stride, pad) in enumerate(self.specs):
-            x = BasicConv2d(feat, kernel, stride, pad, name=str(i))(x, train)
+            x = BasicConv2d(feat, kernel, stride, pad, dtype=self.dtype,
+                            name=str(i))(x, train)
         return x
 
 
 class Block35(nn.Module):
     scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x0 = BasicConv2d(32, 1, 1, 0, name="branch0")(x, train)
-        x1 = Branch(((32, 1, 1, 0), (32, 3, 1, 1)), name="branch1")(x, train)
+        dt = self.dtype
+        x0 = BasicConv2d(32, 1, 1, 0, dtype=dt, name="branch0")(x, train)
+        x1 = Branch(((32, 1, 1, 0), (32, 3, 1, 1)), dtype=dt,
+                    name="branch1")(x, train)
         x2 = Branch(((32, 1, 1, 0), (32, 3, 1, 1), (32, 3, 1, 1)),
-                    name="branch2")(x, train)
+                    dtype=dt, name="branch2")(x, train)
         out = jnp.concatenate([x0, x1, x2], axis=-1)
-        out = nn.Conv(256, (1, 1), name="conv2d")(out)
+        out = nn.Conv(256, (1, 1), dtype=dt, name="conv2d")(out)
         return nn.relu(out * self.scale + x)
 
 
 class Block17(nn.Module):
     scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x0 = BasicConv2d(128, 1, 1, 0, name="branch0")(x, train)
+        dt = self.dtype
+        x0 = BasicConv2d(128, 1, 1, 0, dtype=dt, name="branch0")(x, train)
         x1 = Branch(
             (
                 (128, 1, 1, 0),
                 (128, (1, 7), 1, (0, 3)),
                 (128, (7, 1), 1, (3, 0)),
             ),
+            dtype=dt,
             name="branch1",
         )(x, train)
         out = jnp.concatenate([x0, x1], axis=-1)
-        out = nn.Conv(896, (1, 1), name="conv2d")(out)
+        out = nn.Conv(896, (1, 1), dtype=dt, name="conv2d")(out)
         return nn.relu(out * self.scale + x)
 
 
 class Block8(nn.Module):
     scale: float = 1.0
     no_relu: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x0 = BasicConv2d(192, 1, 1, 0, name="branch0")(x, train)
+        dt = self.dtype
+        x0 = BasicConv2d(192, 1, 1, 0, dtype=dt, name="branch0")(x, train)
         x1 = Branch(
             (
                 (192, 1, 1, 0),
                 (192, (1, 3), 1, (0, 1)),
                 (192, (3, 1), 1, (1, 0)),
             ),
+            dtype=dt,
             name="branch1",
         )(x, train)
         out = jnp.concatenate([x0, x1], axis=-1)
-        out = nn.Conv(1792, (1, 1), name="conv2d")(out)
+        out = nn.Conv(1792, (1, 1), dtype=dt, name="conv2d")(out)
         out = out * self.scale + x
         if not self.no_relu:
             out = nn.relu(out)
@@ -95,24 +106,29 @@ class Block8(nn.Module):
 
 
 class Mixed6a(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x0 = BasicConv2d(384, 3, 2, 0, name="branch0")(x, train)
+        x0 = BasicConv2d(384, 3, 2, 0, dtype=self.dtype,
+                         name="branch0")(x, train)
         x1 = Branch(((192, 1, 1, 0), (192, 3, 1, 1), (256, 3, 2, 0)),
-                    name="branch1")(x, train)
+                    dtype=self.dtype, name="branch1")(x, train)
         x2 = max_pool_ceil(x, 3, 2, ceil_mode=False)
         return jnp.concatenate([x0, x1, x2], axis=-1)
 
 
 class Mixed7a(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x0 = Branch(((256, 1, 1, 0), (384, 3, 2, 0)), name="branch0")(
-            x, train)
-        x1 = Branch(((256, 1, 1, 0), (256, 3, 2, 0)), name="branch1")(
-            x, train)
+        x0 = Branch(((256, 1, 1, 0), (384, 3, 2, 0)), dtype=self.dtype,
+                    name="branch0")(x, train)
+        x1 = Branch(((256, 1, 1, 0), (256, 3, 2, 0)), dtype=self.dtype,
+                    name="branch1")(x, train)
         x2 = Branch(((256, 1, 1, 0), (256, 3, 1, 1), (256, 3, 2, 0)),
-                    name="branch2")(x, train)
+                    dtype=self.dtype, name="branch2")(x, train)
         x3 = max_pool_ceil(x, 3, 2, ceil_mode=False)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
@@ -123,11 +139,13 @@ class Repeat(nn.Module):
     block: Callable[..., nn.Module]
     count: int
     scale: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.count):
-            x = self.block(scale=self.scale, name=str(i))(x, train)
+            x = self.block(scale=self.scale, dtype=self.dtype,
+                           name=str(i))(x, train)
         return x
 
 
@@ -135,25 +153,35 @@ class InceptionResnetV1(nn.Module):
     classify: bool = False
     num_classes: Optional[int] = None
     dropout_prob: float = 0.6
+    # flax compute dtype: None keeps full f32 (parity path); bf16 runs
+    # every conv/BN on the MXU in bf16 with f32 params — without it the
+    # first BatchNorm promotes activations back to f32 and the whole
+    # trunk computes in f32 (~2x conv time on v5e)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BasicConv2d(32, 3, 2, 0, name="conv2d_1a")(x, train)
-        x = BasicConv2d(32, 3, 1, 0, name="conv2d_2a")(x, train)
-        x = BasicConv2d(64, 3, 1, 1, name="conv2d_2b")(x, train)
+        dt = self.dtype
+        x = BasicConv2d(32, 3, 2, 0, dtype=dt, name="conv2d_1a")(x, train)
+        x = BasicConv2d(32, 3, 1, 0, dtype=dt, name="conv2d_2a")(x, train)
+        x = BasicConv2d(64, 3, 1, 1, dtype=dt, name="conv2d_2b")(x, train)
         x = max_pool_ceil(x, 3, 2, ceil_mode=False)
-        x = BasicConv2d(80, 1, 1, 0, name="conv2d_3b")(x, train)
-        x = BasicConv2d(192, 3, 1, 0, name="conv2d_4a")(x, train)
-        x = BasicConv2d(256, 3, 2, 0, name="conv2d_4b")(x, train)
-        x = Repeat(Block35, 5, 0.17, name="repeat_1")(x, train)
-        x = Mixed6a(name="mixed_6a")(x, train)
-        x = Repeat(Block17, 10, 0.10, name="repeat_2")(x, train)
-        x = Mixed7a(name="mixed_7a")(x, train)
-        x = Repeat(Block8, 5, 0.20, name="repeat_3")(x, train)
-        x = Block8(no_relu=True, name="block8")(x, train)
+        x = BasicConv2d(80, 1, 1, 0, dtype=dt, name="conv2d_3b")(x, train)
+        x = BasicConv2d(192, 3, 1, 0, dtype=dt, name="conv2d_4a")(x, train)
+        x = BasicConv2d(256, 3, 2, 0, dtype=dt, name="conv2d_4b")(x, train)
+        x = Repeat(Block35, 5, 0.17, dtype=dt, name="repeat_1")(x, train)
+        x = Mixed6a(dtype=dt, name="mixed_6a")(x, train)
+        x = Repeat(Block17, 10, 0.10, dtype=dt, name="repeat_2")(x, train)
+        x = Mixed7a(dtype=dt, name="mixed_7a")(x, train)
+        x = Repeat(Block8, 5, 0.20, dtype=dt, name="repeat_3")(x, train)
+        x = Block8(no_relu=True, dtype=dt, name="block8")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
         x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = nn.Dense(512, use_bias=False, name="last_linear")(x)
+        x = nn.Dense(512, use_bias=False, dtype=dt,
+                     name="last_linear")(x)
+        # final BN + normalise in f32: the 512-d embedding is the
+        # pipeline contract (cosine >= 0.999)
+        x = x.astype(jnp.float32)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-3,
             name="last_bn",

@@ -11,8 +11,13 @@ factorisation
            = CenterCrop112( Rotate_{phi_r}( M ) ),
       M(q) = img_k( s q + t'' )   on a fixed 160x160 intermediate
 
-  * quadrant pre-rotation (k * 90 deg) happens outside in XLA (dense
-    flips; jnp.flip has no Pallas TPU lowering);
+  * quadrant pre-rotation (k * 90 deg) is absorbed INTO the pre-scale
+    matmuls: rot90^k conjugated through "Ry @ V @ Rx^T" only flips the
+    hat-weight column index (i_eff = a*i + b with per-face scalars
+    a,b) and, for odd k, contracts the window's other axis (a
+    pl.when-predicated dot_general variant). The XLA formulation paid
+    ~3 ms/chunk in dense reverses + transposes + a one-hot blend of
+    [K,C,224,224] stacks; the scalar-side absorption is free;
   * the pre-scale M is two hat-matrix matmuls on the MXU (built
     in-kernel from iota + the per-face scalars);
   * Paeth 3-shear rotation of the FIXED-SIZE M — each pass is a fori
@@ -51,7 +56,7 @@ def _padded_width(m, pad):
     return -(-need // 128) * 128
 
 
-def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
+def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, tbuf, *,
                  n, ch, out_size, pad, nf):
     """Warps ``nf`` faces per grid step. Only the integer block shift
     k0 is per-face data-dependent (one dynamic rotate per face per
@@ -76,23 +81,56 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, *,
     buf_a[...] = jnp.zeros((nf * ch, m, np_w), jnp.float32)
     buf_b[...] = jnp.zeros((nf * ch, m, np_w), jnp.float32)
     for f in range(nf):
+        kq = params_ref[i * nf + f, 2]
         s = params_ref[i * nf + f, 3]
         ux = params_ref[i * nf + f, 4]
         uy = params_ref[i * nf + f, 5]
+        # quadrant absorption: M = Ry @ rot90^k(X) @ Rx^T equals
+        #   k=0:  Ry    @ X   @  Rx^T          (no flips)
+        #   k=1: (Ry J) @ X^T @  Rx^T          (flip L, contract X.T)
+        #   k=2: (Ry J) @ X   @ (Rx J)^T       (flip both)
+        #   k=3:  Ry    @ X^T @ (Rx J)^T       (flip R, contract X.T)
+        # where J reverses hat-weight columns — built directly from a
+        # flipped iota (i_eff = a*i + b), so flips are free scalars.
+        flip_l = jnp.logical_or(kq == 1.0, kq == 2.0)
+        flip_r = jnp.logical_or(kq == 2.0, kq == 3.0)
+        x_t = jnp.logical_or(kq == 1.0, kq == 3.0)
+        a_l = jnp.where(flip_l, -1.0, 1.0)
+        b_l = jnp.where(flip_l, n - 1.0, 0.0)
+        a_r = jnp.where(flip_r, -1.0, 1.0)
+        b_r = jnp.where(flip_r, n - 1.0, 0.0)
         # bf16 matmul tails: hat weights and uint8-valued pixels are
         # near-exact in bf16 and the MXU accumulates in f32
         ry = jnp.maximum(
-            0.0, 1.0 - jnp.abs(s * o_m + uy - i_n)
+            0.0, 1.0 - jnp.abs(s * o_m + uy - (a_l * i_n + b_l))
         ).astype(jnp.bfloat16)  # [m, n]
         rx = jnp.maximum(
-            0.0, 1.0 - jnp.abs(s * o_m + ux - i_n)
+            0.0, 1.0 - jnp.abs(s * o_m + ux - (a_r * i_n + b_r))
         ).astype(jnp.bfloat16)
-        img = window_ref[f]  # [C, N, N] quadrant-rotated window
+        img = window_ref[f]  # [C, N, N] raw (unrotated) window
+
+        @pl.when(jnp.logical_not(x_t))
+        def _row_contract():
+            for cc in range(ch):
+                tbuf[cc] = jax.lax.dot_general(
+                    ry, img[cc],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        @pl.when(x_t)
+        def _col_contract():
+            for cc in range(ch):
+                tbuf[cc] = jax.lax.dot_general(
+                    ry, img[cc],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
         for cc in range(ch):
-            t = jnp.dot(ry, img[cc].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            buf_a[f * ch + cc, :, _LO:_LO + m] = jnp.dot(
-                t.astype(jnp.bfloat16), rx.T,
+            buf_a[f * ch + cc, :, _LO:_LO + m] = jax.lax.dot_general(
+                tbuf[cc].astype(jnp.bfloat16), rx,
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -247,23 +285,12 @@ def batched_similarity_warp_pallas(windows, mats, out_size,
          jnp.ones_like(s), jnp.zeros_like(s)],
         axis=-1,
     )  # [K, 8]
+    # raw windows, channel-major; the quadrant rotation is absorbed
+    # into the kernel's hat-weight scalars (flipped iotas + a
+    # predicated transposed contraction) — the previous XLA pre-
+    # rotation (flips + transposes + one-hot blend over 4 variants of
+    # the [K, C, N, N] stack) cost ~3 ms/chunk of pure HBM traffic
     planes = jnp.transpose(windows, (0, 3, 1, 2))  # [K, C, N, N]
-
-    # quadrant pre-rotation in XLA: dense flips/transposes blended by a
-    # one-hot select (take_along_axis would lower to a whole-stack
-    # gather, which costs ~300ms at this size)
-    kq_i = kq.astype(jnp.int32)
-    swap = jnp.swapaxes(planes, 2, 3)
-    variants = [
-        planes,
-        jnp.flip(swap, axis=2),
-        jnp.flip(planes, axis=(2, 3)),
-        jnp.flip(swap, axis=3),
-    ]
-    onehot = jax.nn.one_hot(kq_i, 4, dtype=planes.dtype)  # [K, 4]
-    planes = sum(
-        onehot[:, q, None, None, None] * variants[q] for q in range(4)
-    )
 
     np_w = _padded_width(_M, pad)
     kernel = functools.partial(_warp_kernel, n=n, ch=ch,
@@ -281,6 +308,7 @@ def batched_similarity_warp_pallas(windows, mats, out_size,
         scratch_shapes=[
             pltpu.VMEM((nf * ch, _M, np_w), jnp.float32),
             pltpu.VMEM((nf * ch, _M, np_w), jnp.float32),
+            pltpu.VMEM((ch, _M, n), jnp.float32),
         ],
     )
     # ship the pixel planes in bf16: the kernel's first touch is
