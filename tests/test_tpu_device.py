@@ -100,3 +100,30 @@ def test_nms_pallas_device_matches_interpret(rng):
         *args, iou_thr=0.5, min_mode=True
     ))
     np.testing.assert_array_equal(got_min, want_min)
+
+
+def test_crop_pallas_device_matches_interpret(rng):
+    _require_tpu()
+    from vn_celeb_face_recognition_tpu.ops.boxes import clamp_boxes
+    from vn_celeb_face_recognition_tpu.ops.crop_pallas import (
+        grouped_crop_area_resize_pallas,
+    )
+
+    gen = np.random.default_rng(11)
+    images = gen.integers(0, 256, size=(2, 160, 160, 3)).astype(
+        np.float32)
+    x1 = gen.integers(-10, 150, size=(2, 8))
+    y1 = gen.integers(-10, 150, size=(2, 8))
+    boxes = np.stack(
+        [x1, y1,
+         x1 + gen.integers(4, 160, size=(2, 8)),
+         y1 + gen.integers(4, 160, size=(2, 8))], -1
+    ).astype(np.float32)
+    boxes = clamp_boxes(jnp.asarray(boxes), 160, 160)
+
+    want = np.asarray(jax.device_get(grouped_crop_area_resize_pallas(
+        jnp.asarray(images), boxes, 24, interpret=True)))
+    got = _fetch(grouped_crop_area_resize_pallas(
+        jnp.asarray(images), boxes, 24))
+    # both sides sum exact integers in f32 — equality, not tolerance
+    np.testing.assert_array_equal(got, want)

@@ -331,6 +331,7 @@ class MTCNN:
         out_cap=64,
         dtype=jnp.float32,
         fast_pnet=True,
+        pallas_crops=None,
     ):
         self.image_size = image_size
         self.margin = margin
@@ -353,6 +354,15 @@ class MTCNN:
         # the cascade's stage 1 (numerically exact; see
         # _fused_pnet_apply)
         self.fast_pnet = fast_pnet
+        # RNet/ONet crops via the VMEM-resident Pallas kernel (exact;
+        # ops/crop_pallas.py). Default OFF: measured on v5e the kernel
+        # runs the crops in 1.5 ms vs the XLA einsums' 1.8 ms, but the
+        # NHWC->planes transpose it needs (+0.3 ms) and the output
+        # relayout cancel the win inside the fused engine (bench
+        # 10011 vs 10560 faces/sec) — XLA already overlaps the
+        # intermediate's HBM traffic with neighbouring work. Kept as
+        # an opt-in backend for standalone crop workloads.
+        self.pallas_crops = bool(pallas_crops)
 
         self.pnet = PNet()
         self.rnet = RNet()
@@ -395,6 +405,11 @@ class MTCNN:
         pnet, rnet, onet = self.pnet, self.rnet, self.onet
         cdtype = self.dtype  # compute dtype for resizes + nets; box
         # math and scores stay f32
+        if self.pallas_crops:
+            from ..ops.crop_pallas import grouped_crop_area_resize_pallas
+            crop_fn = grouped_crop_area_resize_pallas
+        else:
+            crop_fn = grouped_crop_area_resize
 
         def net_apply(net, var, x):
             if cdtype != jnp.float32:
@@ -517,7 +532,7 @@ class MTCNN:
             # the box math below keeps the unclamped floats; crops are
             # exact adaptive-area pooling as 0/1-mask matmuls
             crop_boxes = B.clamp_boxes(boxes, w, h)
-            crops = grouped_crop_area_resize(imgs, crop_boxes, 24)
+            crops = crop_fn(imgs, crop_boxes, 24)
             crops = crops.reshape(batch * k2, 24, 24, 3)
             r_reg, r_prob = net_apply(rnet, variables["rnet"],
                                       _normalize(crops))
@@ -538,7 +553,7 @@ class MTCNN:
 
             # ---- stage 3: batched 48x48 crops + ONet ----
             crop_boxes = B.clamp_boxes(boxes, w, h)
-            crops = grouped_crop_area_resize(imgs, crop_boxes, 48)
+            crops = crop_fn(imgs, crop_boxes, 48)
             crops = crops.reshape(batch * k3, 48, 48, 3)
             o_reg, o_landm, o_prob = net_apply(
                 onet, variables["onet"], _normalize(crops)
