@@ -86,16 +86,20 @@ def main():
         # (scripts/celeb_stat_dynamic_itv.sh: -det RetinaFace,
         # cfg/detection/retina_face.json -> cfg_mnet). Published
         # weights can't be downloaded in this environment; if the
-        # converted npz is absent the net runs randomly initialised —
-        # the program is shape-static (detection cost, out_cap aligned
-        # face slots, encoder, classifier all fixed), so the measured
-        # chip throughput is identical to the real-weight deployment.
+        # converted npz is absent the net runs randomly initialised.
+        # The program is shape-static (net, decode, top-k, aligned
+        # face slots, encoder, classifier all fixed) and the one
+        # data-dependent piece — the Jacobi NMS fixpoint — sees its
+        # WORST case under random weights (every anchor passes
+        # conf 0.02, dense overlapping candidates), so this line is a
+        # conservative bound on real-weight deployment throughput.
         from vn_celeb_face_recognition_tpu.models import RetinaFace
 
         detector = RetinaFace(
             backbone_cfg="cfg_mnet",
             weights_path="vn_celeb_face_recognition_tpu/models/weights/"
                          "retinaface_mnet025.npz",
+            dtype=jnp.bfloat16,
         )
     else:
         detector = MTCNN(min_face_size=50, keep_all=True,

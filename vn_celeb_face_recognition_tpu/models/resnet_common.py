@@ -12,14 +12,14 @@ downsample/0, downsample/1) so ImageNet / emotion checkpoints convert
 directly.
 """
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 
 
-def _bn(name, train):
+def _bn(name, train, dtype=None):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
 class Bottleneck(nn.Module):
@@ -27,24 +27,28 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = _bn("bn1", train)(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=dt,
+                      name="conv1")(x)
+        out = _bn("bn1", train, dt)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=((1, 1), (1, 1)), use_bias=False,
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
                       name="conv2")(out)
-        out = _bn("bn2", train)(out)
+        out = _bn("bn2", train, dt)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      name="conv3")(out)
-        out = _bn("bn3", train)(out)
+                      dtype=dt, name="conv3")(out)
+        out = _bn("bn3", train, dt)(out)
         if self.has_downsample:
             residual = BottleneckDownsample(
-                self.planes * self.expansion, self.stride, name="downsample"
+                self.planes * self.expansion, self.stride, dtype=dt,
+                name="downsample"
             )(x, train)
         return nn.relu(out + residual)
 
@@ -52,12 +56,13 @@ class Bottleneck(nn.Module):
 class BottleneckDownsample(nn.Module):
     features: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
-                    use_bias=False, name="0")(x)
-        return _bn("1", train)(x)
+                    use_bias=False, dtype=self.dtype, name="0")(x)
+        return _bn("1", train, self.dtype)(x)
 
 
 class ResLayer(nn.Module):
@@ -65,14 +70,16 @@ class ResLayer(nn.Module):
     blocks: int
     stride: int
     inplanes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         needs_ds = self.stride != 1 or self.inplanes != self.planes * 4
-        x = Bottleneck(self.planes, self.stride, needs_ds, name="0")(
-            x, train)
+        x = Bottleneck(self.planes, self.stride, needs_ds,
+                       dtype=self.dtype, name="0")(x, train)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, False, name=str(i))(x, train)
+            x = Bottleneck(self.planes, 1, False, dtype=self.dtype,
+                           name=str(i))(x, train)
         return x
 
 

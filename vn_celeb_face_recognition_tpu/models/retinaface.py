@@ -77,15 +77,17 @@ class ConvBN(nn.Module):
     kernel: int = 3
     padding: int = 1
     relu: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.padding
         x = nn.Conv(self.features, (self.kernel,) * 2,
                     strides=(self.stride,) * 2,
-                    padding=((p, p), (p, p)), use_bias=False, name="0")(x)
+                    padding=((p, p), (p, p)), use_bias=False,
+                    dtype=self.dtype, name="0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="1")(x)
         if self.relu:
             x = nn.leaky_relu(x, negative_slope=self.leaky)
         return x
@@ -98,37 +100,45 @@ class ConvDW(nn.Module):
     out_features: int
     stride: int
     leaky: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         x = nn.Conv(self.in_features, (3, 3), strides=(self.stride,) * 2,
                     padding=((1, 1), (1, 1)),
                     feature_group_count=self.in_features, use_bias=False,
-                    name="0")(x)
+                    dtype=dt, name="0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="1")(x)
+                         epsilon=1e-5, dtype=dt, name="1")(x)
         x = nn.leaky_relu(x, negative_slope=self.leaky)
-        x = nn.Conv(self.out_features, (1, 1), use_bias=False, name="3")(x)
+        x = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=dt,
+                    name="3")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="4")(x)
+                         epsilon=1e-5, dtype=dt, name="4")(x)
         return nn.leaky_relu(x, negative_slope=self.leaky)
 
 
 class MobileNetV1Stage(nn.Module):
     specs: Tuple[Tuple[str, int, int, int], ...]  # (kind, in, out, stride)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (kind, cin, cout, stride) in enumerate(self.specs):
             if kind == "conv_bn":
-                x = ConvBN(cout, stride, leaky=0.1, name=str(i))(x, train)
+                x = ConvBN(cout, stride, leaky=0.1, dtype=self.dtype,
+                           name=str(i))(x, train)
             else:
-                x = ConvDW(cin, cout, stride, name=str(i))(x, train)
+                x = ConvDW(cin, cout, stride, dtype=self.dtype,
+                           name=str(i))(x, train)
         return x
 
 
 class MobileNetV1Body(nn.Module):
     """The three stages tapped by the FPN (components.py:102-124)."""
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -141,6 +151,7 @@ class MobileNetV1Body(nn.Module):
                 ("conv_dw", 32, 64, 2),
                 ("conv_dw", 64, 64, 1),
             ),
+            dtype=self.dtype,
             name="stage1",
         )(x, train)
         s2 = MobileNetV1Stage(
@@ -152,10 +163,12 @@ class MobileNetV1Body(nn.Module):
                 ("conv_dw", 128, 128, 1),
                 ("conv_dw", 128, 128, 1),
             ),
+            dtype=self.dtype,
             name="stage2",
         )(s1, train)
         s3 = MobileNetV1Stage(
             (("conv_dw", 128, 256, 2), ("conv_dw", 256, 256, 1)),
+            dtype=self.dtype,
             name="stage3",
         )(s2, train)
         return s1, s2, s3
@@ -165,17 +178,20 @@ class ResNet50Body(nn.Module):
     """torchvision resnet50 trunk tapped at layer2/3/4
     (retina_face.py:86-90, return_layers)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = _res_bn("bn1", train)(x)
+                    use_bias=False, dtype=dt, name="conv1")(x)
+        x = _res_bn("bn1", train, dt)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        c1 = ResLayer(64, 3, 1, 64, name="layer1")(x, train)
-        c2 = ResLayer(128, 4, 2, 256, name="layer2")(c1, train)
-        c3 = ResLayer(256, 6, 2, 512, name="layer3")(c2, train)
-        c4 = ResLayer(512, 3, 2, 1024, name="layer4")(c3, train)
+        c1 = ResLayer(64, 3, 1, 64, dtype=dt, name="layer1")(x, train)
+        c2 = ResLayer(128, 4, 2, 256, dtype=dt, name="layer2")(c1, train)
+        c3 = ResLayer(256, 6, 2, 512, dtype=dt, name="layer3")(c2, train)
+        c4 = ResLayer(512, 3, 2, 1024, dtype=dt, name="layer4")(c3, train)
         return c2, c3, c4
 
 
@@ -186,38 +202,45 @@ class ResNet50Body(nn.Module):
 
 class FPN(nn.Module):
     out_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
+        dt = self.dtype
         leaky = 0.1 if self.out_channels <= 64 else 0.0
         o1 = ConvBN(self.out_channels, 1, leaky, kernel=1, padding=0,
-                    name="output1")(inputs[0], train)
+                    dtype=dt, name="output1")(inputs[0], train)
         o2 = ConvBN(self.out_channels, 1, leaky, kernel=1, padding=0,
-                    name="output2")(inputs[1], train)
+                    dtype=dt, name="output2")(inputs[1], train)
         o3 = ConvBN(self.out_channels, 1, leaky, kernel=1, padding=0,
-                    name="output3")(inputs[2], train)
+                    dtype=dt, name="output3")(inputs[2], train)
         up3 = jax.image.resize(o3, o2.shape, method="nearest")
-        o2 = ConvBN(self.out_channels, 1, leaky, name="merge2")(
+        o2 = ConvBN(self.out_channels, 1, leaky, dtype=dt, name="merge2")(
             o2 + up3, train)
         up2 = jax.image.resize(o2, o1.shape, method="nearest")
-        o1 = ConvBN(self.out_channels, 1, leaky, name="merge1")(
+        o1 = ConvBN(self.out_channels, 1, leaky, dtype=dt, name="merge1")(
             o1 + up2, train)
         return [o1, o2, o3]
 
 
 class SSH(nn.Module):
     out_channel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         leaky = 0.1 if self.out_channel <= 64 else 0.0
         half = self.out_channel // 2
         quarter = self.out_channel // 4
-        c3 = ConvBN(half, 1, relu=False, name="conv3X3")(x, train)
-        c5_1 = ConvBN(quarter, 1, leaky, name="conv5X5_1")(x, train)
-        c5 = ConvBN(quarter, 1, relu=False, name="conv5X5_2")(c5_1, train)
-        c7_2 = ConvBN(quarter, 1, leaky, name="conv7X7_2")(c5_1, train)
-        c7 = ConvBN(quarter, 1, relu=False, name="conv7x7_3")(c7_2, train)
+        c3 = ConvBN(half, 1, relu=False, dtype=dt, name="conv3X3")(x, train)
+        c5_1 = ConvBN(quarter, 1, leaky, dtype=dt, name="conv5X5_1")(x, train)
+        c5 = ConvBN(quarter, 1, relu=False, dtype=dt,
+                    name="conv5X5_2")(c5_1, train)
+        c7_2 = ConvBN(quarter, 1, leaky, dtype=dt,
+                      name="conv7X7_2")(c5_1, train)
+        c7 = ConvBN(quarter, 1, relu=False, dtype=dt,
+                    name="conv7x7_3")(c7_2, train)
         return nn.relu(jnp.concatenate([c3, c5, c7], axis=-1))
 
 
@@ -227,22 +250,27 @@ class Head(nn.Module):
 
     dims: int
     num_anchors: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         out = nn.Conv(self.num_anchors * self.dims, (1, 1),
-                      name="conv1x1")(x)
-        return out.reshape(out.shape[0], -1, self.dims)
+                      dtype=self.dtype, name="conv1x1")(x)
+        # heads feed the box/landmark decode: hand back f32
+        return out.reshape(out.shape[0], -1, self.dims).astype(
+            jnp.float32)
 
 
 class HeadList(nn.Module):
     dims: int
     num_anchors: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features):
         outs = [
-            Head(self.dims, self.num_anchors, name=str(i))(f)
+            Head(self.dims, self.num_anchors, dtype=self.dtype,
+                 name=str(i))(f)
             for i, f in enumerate(features)
         ]
         return jnp.concatenate(outs, axis=1)
@@ -252,21 +280,26 @@ class RetinaFaceNet(nn.Module):
     backbone: str  # 'mobilenet0.25' | 'Resnet50'
     out_channel: int
     phase: str = "test"
+    # flax compute dtype: bf16 runs the trunk/FPN/SSH on the MXU in
+    # bf16 with f32 params (heads hand back f32 for the decode); None
+    # keeps full f32 (the parity path)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         if self.backbone == "mobilenet0.25":
-            feats = MobileNetV1Body(name="body")(x, train)
+            feats = MobileNetV1Body(dtype=dt, name="body")(x, train)
         else:
-            feats = ResNet50Body(name="body")(x, train)
-        fpn = FPN(self.out_channel, name="fpn")(list(feats), train)
-        f1 = SSH(self.out_channel, name="ssh1")(fpn[0], train)
-        f2 = SSH(self.out_channel, name="ssh2")(fpn[1], train)
-        f3 = SSH(self.out_channel, name="ssh3")(fpn[2], train)
+            feats = ResNet50Body(dtype=dt, name="body")(x, train)
+        fpn = FPN(self.out_channel, dtype=dt, name="fpn")(list(feats), train)
+        f1 = SSH(self.out_channel, dtype=dt, name="ssh1")(fpn[0], train)
+        f2 = SSH(self.out_channel, dtype=dt, name="ssh2")(fpn[1], train)
+        f3 = SSH(self.out_channel, dtype=dt, name="ssh3")(fpn[2], train)
         features = [f1, f2, f3]
-        bbox = HeadList(4, name="BboxHead")(features)
-        cls = HeadList(2, name="ClassHead")(features)
-        ldm = HeadList(10, name="LandmarkHead")(features)
+        bbox = HeadList(4, dtype=dt, name="BboxHead")(features)
+        cls = HeadList(2, dtype=dt, name="ClassHead")(features)
+        ldm = HeadList(10, dtype=dt, name="LandmarkHead")(features)
         if self.phase == "train":
             return bbox, cls, ldm
         return bbox, nn.softmax(cls, axis=-1), ldm
@@ -282,7 +315,7 @@ class RetinaFace:
                  backbone_path=None, device=None, conf_thres=0.02,
                  topk_bf_nms=5000, keep_top_k=750, nms_thres=0.4,
                  vis_thres=0.6, checkpoint_path=None, nms_cap=1024,
-                 weights_path=None):
+                 weights_path=None, dtype=None):
         self.cfg = _CONFIGS[backbone_cfg] if isinstance(backbone_cfg, str) \
             else backbone_cfg
         self.phase = phase
@@ -297,7 +330,7 @@ class RetinaFace:
 
         self.net = RetinaFaceNet(
             backbone=self.cfg["name"], out_channel=self.cfg["out_channel"],
-            phase=phase,
+            phase=phase, dtype=dtype,
         )
         self.variables = None
         for path in [weights_path, checkpoint_path]:
