@@ -165,7 +165,7 @@ def get_video_fps(video_path):
 
 
 def build_fused_engine(models, target_fs, emotion_topk=6,
-                       face_cap=None):
+                       face_cap=None, compute_dtype=None):
     """Fused single-program engine over the loaded models (MTCNN
     detector path). When the emotion model is loaded it fuses into the
     same device program (reference emotion flow: demo_image.py:79-110
@@ -182,11 +182,16 @@ def build_fused_engine(models, target_fs, emotion_topk=6,
             "emotion_variables": emt_model.variables,
             "emotion_topk": emotion_topk,
         }
+    import jax.numpy as jnp
+
+    if isinstance(compute_dtype, str):
+        compute_dtype = jnp.dtype(compute_dtype).type
     return FusedRecognitionEngine(
         detection_md,
         emb_model.module, emb_model.variables,
         classify_model.module, classify_model.variables,
         target_fs=target_fs[0], face_cap=face_cap,
+        compute_dtype=compute_dtype or jnp.float32,
         **emotion_kwargs,
     )
 
@@ -213,6 +218,7 @@ def process_video(args, models, target_fs, center_point, threshold,
             engine = build_fused_engine(
                 models, target_fs, args.topk_emotions,
                 face_cap=getattr(args, "face_cap", None),
+                compute_dtype=getattr(args, "compute_dtype", None),
             )
 
     if not os.path.exists(args.output_frame):
@@ -390,6 +396,11 @@ def build_arg_parser():
     p.add_argument("--fused_engine", action="store_true",
                    help="run detect+align+embed+classify as one fused "
                         "device program per frame chunk")
+    p.add_argument("--compute_dtype", default=None, type=str,
+                   help="fused-engine compute dtype (e.g. bfloat16; "
+                        "the bench's production profile). Detector/"
+                        "encoder dtypes come from -dargs/-eargs JSON "
+                        "('dtype': 'bfloat16').")
     p.add_argument("--face_cap", default=None, type=int,
                    help="global align/embed face budget per chunk for "
                         "the fused engine (compaction; warns on "

@@ -238,3 +238,22 @@ def test_mtcnn_extract_save_path(tmp_path):
     assert os.path.exists(save_to)
     saved = np.asarray(Image.open(save_to))
     assert saved.shape == (96, 96, 3)
+
+
+def test_json_dtype_strings_coerce():
+    """cfg JSON names dtypes as strings; builders and detector
+    constructors must accept them (CLI fast-path plumbing)."""
+    import jax.numpy as jnp
+
+    from vn_celeb_face_recognition_tpu.models import (
+        MTCNN,
+        RetinaFace,
+        build_model,
+    )
+
+    model, _ = build_model("InceptionResnetV1", dtype="bfloat16")
+    assert model.dtype == jnp.bfloat16
+    det = MTCNN(dtype="bfloat16")
+    assert det.dtype == jnp.bfloat16
+    rf = RetinaFace(dtype="bfloat16")
+    assert rf.net.dtype == jnp.bfloat16

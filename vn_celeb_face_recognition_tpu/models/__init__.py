@@ -40,7 +40,19 @@ def build_model(name, **args):
     # reference config files carry torch-hub's download-progress flag
     # (cfg/embedding/iresnet100_enc.json); it has no meaning here
     args.pop("progress", None)
+    if "dtype" in args:
+        args["dtype"] = coerce_dtype(args["dtype"])
     return builders[name](**args)
+
+
+def coerce_dtype(d):
+    """JSON configs name dtypes as strings ("bfloat16"); accept those
+    alongside real jnp dtypes (None passes through)."""
+    import jax.numpy as jnp
+
+    if d is None or not isinstance(d, str):
+        return d
+    return jnp.dtype(d).type
 
 
 def _build_mlp(input_dim, num_classes, **kwargs):

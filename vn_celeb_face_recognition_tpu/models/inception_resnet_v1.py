@@ -218,7 +218,8 @@ def pretrained_weight_candidates(name):
 
 def build_inception_resnet_v1(pretrained=None, classify=False,
                               num_classes=None, dropout_prob=0.6,
-                              device=None, weights_path=None):
+                              device=None, weights_path=None,
+                              dtype=None):
     """Factory mirroring the reference constructor semantics
     (inception_resnet_v1.py:202-270). Returns (module, variables);
     variables is None when no weights were found (caller initialises)."""
@@ -240,7 +241,7 @@ def build_inception_resnet_v1(pretrained=None, classify=False,
         n_cls = _PRETRAINED_CLASSES[pretrained]
     model = InceptionResnetV1(classify=classify,
                               num_classes=n_cls if classify else None,
-                              dropout_prob=dropout_prob)
+                              dropout_prob=dropout_prob, dtype=dtype)
 
     variables = None
     if pretrained is not None:

@@ -349,6 +349,8 @@ class MTCNN:
         self.rnet_cap = rnet_cap
         self.onet_cap = onet_cap
         self.out_cap = out_cap
+        if isinstance(dtype, str):  # JSON configs: "bfloat16"
+            dtype = jnp.dtype(dtype).type
         self.dtype = dtype
         # fuse conv1+PReLU+ceil-pool into one space-to-depth conv in
         # the cascade's stage 1 (numerically exact; see
