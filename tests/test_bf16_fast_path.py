@@ -91,3 +91,19 @@ def test_encoder_bf16_embedding_cosine():
         np.linalg.norm(e32, axis=-1) * np.linalg.norm(ebf, axis=-1)
     )
     assert cos.min() > 0.999, cos
+
+
+def test_iresnet_bf16_embedding_cosine():
+    from vn_celeb_face_recognition_tpu.models import iresnet34
+
+    m32 = iresnet34()
+    mbf = iresnet34(dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 112, 112, 3),
+                           minval=-1.0, maxval=1.0)
+    a = np.asarray(m32.apply(v, x, train=False))
+    b = np.asarray(mbf.apply(v, x.astype(jnp.bfloat16), train=False))
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert cos.min() > 0.999, cos

@@ -13,7 +13,7 @@ published torch fc weights apply unchanged.
 """
 
 import os
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -27,11 +27,12 @@ _BN_EPS = 2e-5
 _BN_MOMENTUM = 0.9  # torch momentum convention
 
 
-def _bn(name, train):
+def _bn(name, train, dtype=None):
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=1.0 - _BN_MOMENTUM,
         epsilon=_BN_EPS,
+        dtype=dtype,
         name=name,
     )
 
@@ -40,21 +41,23 @@ class IBasicBlock(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         identity = x
-        out = _bn("bn1", train)(x)
+        out = _bn("bn1", train, dt)(x)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, name="conv1")(out)
-        out = _bn("bn2", train)(out)
+                      use_bias=False, dtype=dt, name="conv1")(out)
+        out = _bn("bn2", train, dt)(out)
         out = PReLU(self.planes, name="prelu")(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
                       padding=((1, 1), (1, 1)), use_bias=False,
-                      name="conv2")(out)
-        out = _bn("bn3", train)(out)
+                      dtype=dt, name="conv2")(out)
+        out = _bn("bn3", train, dt)(out)
         if self.has_downsample:
-            identity = Downsample(self.planes, self.stride,
+            identity = Downsample(self.planes, self.stride, dtype=dt,
                                   name="downsample")(x, train)
         return out + identity
 
@@ -62,12 +65,13 @@ class IBasicBlock(nn.Module):
 class Downsample(nn.Module):
     planes: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                    use_bias=False, name="0")(x)
-        return _bn("1", train)(x)
+                    use_bias=False, dtype=self.dtype, name="0")(x)
+        return _bn("1", train, self.dtype)(x)
 
 
 class Layer(nn.Module):
@@ -75,14 +79,16 @@ class Layer(nn.Module):
     blocks: int
     stride: int
     inplanes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         needs_ds = self.stride != 1 or self.inplanes != self.planes
-        x = IBasicBlock(self.planes, self.stride, needs_ds, name="0")(
-            x, train)
+        x = IBasicBlock(self.planes, self.stride, needs_ds,
+                        dtype=self.dtype, name="0")(x, train)
         for i in range(1, self.blocks):
-            x = IBasicBlock(self.planes, 1, False, name=str(i))(x, train)
+            x = IBasicBlock(self.planes, 1, False, dtype=self.dtype,
+                            name=str(i))(x, train)
         return x
 
 
@@ -92,22 +98,32 @@ class IResNet(nn.Module):
     n_classes: Optional[int] = None
     dropout: float = 0.4
     fc_scale: int = 7 * 7
+    # flax compute dtype: bf16 runs the trunk on the MXU in bf16 with
+    # f32 params; the fc/features head and logits stay f32 (embedding
+    # contract cosine >= 0.999)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                    name="conv1")(x)
-        x = _bn("bn1", train)(x)
+                    dtype=dt, name="conv1")(x)
+        x = _bn("bn1", train, dt)(x)
         x = PReLU(64, name="prelu")(x)
-        x = Layer(64, self.layers[0], 2, 64, name="layer1")(x, train)
-        x = Layer(128, self.layers[1], 2, 64, name="layer2")(x, train)
-        x = Layer(256, self.layers[2], 2, 128, name="layer3")(x, train)
-        x = Layer(512, self.layers[3], 2, 256, name="layer4")(x, train)
-        x = _bn("bn2", train)(x)
+        x = Layer(64, self.layers[0], 2, 64, dtype=dt,
+                  name="layer1")(x, train)
+        x = Layer(128, self.layers[1], 2, 64, dtype=dt,
+                  name="layer2")(x, train)
+        x = Layer(256, self.layers[2], 2, 128, dtype=dt,
+                  name="layer3")(x, train)
+        x = Layer(512, self.layers[3], 2, 256, dtype=dt,
+                  name="layer4")(x, train)
+        x = _bn("bn2", train, dt)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         # channel-major flatten for torch fc weight parity
         n = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+        x = x.astype(jnp.float32)
         x = nn.Dense(self.num_features, name="fc")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=1.0 - _BN_MOMENTUM,
@@ -147,14 +163,14 @@ def _weight_candidates(depth):
 
 def build_iresnet(depth, pretrained=False, progress=True,
                   checkpoint_path="", freeze_weights=False, n_classes=None,
-                  num_features=512, weights_path=None):
+                  num_features=512, weights_path=None, dtype=None):
     """Factory mirroring the reference _iresnet semantics
     (iresnet_encoder.py:162-181). ``freeze_weights`` is recorded but
     enforcement happens in the trainer (frozen-encoder path)."""
     from .torch_convert import convert_state_dict, load_torch_checkpoint
 
     model = IResNet(layers=_DEPTH_LAYERS[depth], num_features=num_features,
-                    n_classes=n_classes)
+                    n_classes=n_classes, dtype=dtype)
     variables = None
     if pretrained:
         candidates = [c for c in [weights_path, checkpoint_path or None]
