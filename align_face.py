@@ -48,7 +48,16 @@ def detect_landmarks(detector, rgb_image, fa_model=None):
             reduce_to_5_points,
         )
 
-        pts68 = fa_model.get_landmarks(rgb_image)[0]
+        # FAN expects a face-box crop scale, not the raw photo: find
+        # the face with the detector first (the reference package ran
+        # its own SFD detection inside get_landmarks); fall back to
+        # the whole image as the box only when detection fails —
+        # dataset images here are usually pre-cropped faces.
+        box = None
+        boxes, probs, _ = detector.inference(rgb_image, landmark=True)
+        if len(boxes) > 0:
+            box = np.asarray(boxes[0][:4], np.float32)
+        pts68 = fa_model.get_landmarks(rgb_image, detected_box=box)[0]
         dst, sane = reduce_to_5_points(pts68)
         return np.asarray(dst, np.float32) if sane else None
     boxes, probs, points = detector.inference(rgb_image, landmark=True)

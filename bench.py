@@ -134,9 +134,18 @@ def main():
         jax.device_put(np.roll(frames, 97, axis=2)),
     ]
 
-    # warmup / compile; the fetch forces real remote execution
-    out = engine.process(chunk_devs[0])
-    valid_per_chunk = int(np.asarray(jax.device_get(out["valid"])).sum())
+    # warmup / compile; the fetch forces real remote execution. BOTH
+    # chunks contribute half the timed iterations, so the faces/sec
+    # basis averages their valid counts (the 97px roll wraps ~10px of
+    # the rightmost pasted faces across the frame edge, which can
+    # change the detection count)
+    valid_counts = []
+    for cd in chunk_devs:
+        out = engine.process(cd)
+        valid_counts.append(
+            int(np.asarray(jax.device_get(out["valid"])).sum())
+        )
+    valid_per_chunk = sum(valid_counts) / len(valid_counts)
 
     # measure the warm host->device path (the dev-relay tunnel on this
     # rig moves ~50 MB/s; real TPU hosts stream frames at GB/s over
@@ -160,7 +169,7 @@ def main():
     import os as _os
 
     faces_basis = valid_per_chunk
-    basis_note = f"{valid_per_chunk} valid faces/chunk"
+    basis_note = f"{valid_per_chunk:g} valid faces/chunk"
     if det_kind == "retinaface" and not _os.path.exists(
         "vn_celeb_face_recognition_tpu/models/weights/"
         "retinaface_mnet025.npz"

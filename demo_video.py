@@ -184,8 +184,9 @@ def build_fused_engine(models, target_fs, emotion_topk=6,
         }
     import jax.numpy as jnp
 
-    if isinstance(compute_dtype, str):
-        compute_dtype = jnp.dtype(compute_dtype).type
+    from vn_celeb_face_recognition_tpu.models import coerce_dtype
+
+    compute_dtype = coerce_dtype(compute_dtype)
     return FusedRecognitionEngine(
         detection_md,
         emb_model.module, emb_model.variables,

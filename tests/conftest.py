@@ -41,6 +41,22 @@ import pytest
 REFERENCE_DIR = Path("/root/reference")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Under VN_TPU_TESTS=1 only the ``tpu``-marked device regressions
+    may run: the CPU suite assumes an 8-virtual-device mesh, and every
+    distinct jitted program costs minutes of remote compilation on the
+    single-tenant chip. Deselect everything else so a forgotten
+    ``-m tpu`` cannot flood the device."""
+    if not RUN_TPU_TESTS:
+        return
+    skip = pytest.mark.skip(
+        reason="VN_TPU_TESTS=1 runs only -m tpu device regressions"
+    )
+    for item in items:
+        if "tpu" not in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def reference_available():
     return REFERENCE_DIR.is_dir()

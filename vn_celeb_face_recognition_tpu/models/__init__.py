@@ -8,6 +8,7 @@ pretrained-weight loading the torch constructors did implicitly happens
 here explicitly via the torch->flax converter.
 """
 
+from .layers import coerce_dtype
 from .mlp import MLPModel
 from .inception_resnet_v1 import InceptionResnetV1, build_inception_resnet_v1
 from .iresnet import IResNet, iresnet34, iresnet50, iresnet100, \
@@ -45,14 +46,7 @@ def build_model(name, **args):
     return builders[name](**args)
 
 
-def coerce_dtype(d):
-    """JSON configs name dtypes as strings ("bfloat16"); accept those
-    alongside real jnp dtypes (None passes through)."""
-    import jax.numpy as jnp
 
-    if d is None or not isinstance(d, str):
-        return d
-    return jnp.dtype(d).type
 
 
 def _build_mlp(input_dim, num_classes, **kwargs):

@@ -277,17 +277,38 @@ class FANLandmarker:
 
     def landmarks_for_boxes(self, images_u8, boxes):
         """images_u8 [N, H, W, 3] uint8 (one face region each), boxes
-        [N, 4] xyxy in image coords -> [N, 68, 2] float landmarks."""
+        [N, 4] xyxy in image coords -> [N, 68, 2] float landmarks.
+
+        Shapes are BUCKETED before jit (H/W up to multiples of 64, N
+        to a power of two) so a mixed-size dataset compiles a bounded
+        set of programs instead of one per crop size — remote
+        compilation costs minutes per program on this rig. Bucketing
+        is EXACT: the crop's hat weights read zero outside the
+        original extent, which is precisely what zero-padding adds."""
         images_u8 = np.ascontiguousarray(images_u8)
         n, h, w = images_u8.shape[:3]
         centers, scales = box_center_scale(np.asarray(boxes,
                                                       np.float32))
-        key = (n, h, w)
+        hp = -(-h // 64) * 64
+        wp = -(-w // 64) * 64
+        np_pad = 1 << (n - 1).bit_length()
+        if (hp, wp, np_pad) != (h, w, n):
+            padded = np.zeros((np_pad, hp, wp, 3), np.uint8)
+            padded[:n, :h, :w] = images_u8
+            images_u8 = padded
+            centers = np.concatenate(
+                [np.asarray(centers),
+                 np.ones((np_pad - n, 2), np.float32) * 32.0])
+            scales = np.concatenate(
+                [np.asarray(scales),
+                 np.ones((np_pad - n,), np.float32) * 0.3])
+        key = (np_pad, hp, wp)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(n, h, w)
-        return np.asarray(jax.device_get(self._jit_cache[key](
+            self._jit_cache[key] = self._build(np_pad, hp, wp)
+        out = np.asarray(jax.device_get(self._jit_cache[key](
             self.variables, images_u8, centers, scales
         )))
+        return out[:n]
 
     def get_landmarks(self, rgb_image, detected_box=None):
         """Single pre-cropped face image -> [[68, 2]] (list-of-arrays
@@ -309,20 +330,16 @@ def reduce_to_5_points(points68):
     """68 -> 5 canonical points + the geometric sanity gate
     (demo_image.py:218-233): eye centres, nose tip, mouth corners;
     returns (dst [5,2], ok)."""
+    from ..pipeline.recognition import landmarks_geometrically_sane
+
     p = np.asarray(points68, np.float32)
     p1 = p[36:42].mean(axis=0)
     p2 = p[42:48].mean(axis=0)
     p3 = p[33]
     p4 = p[48]
     p5 = p[54]
-    cond = (
-        np.mean([p1[1], p2[1]]) < p3[1]
-        and p3[1] < np.mean([p4[1], p5[1]])
-        and min(p4[1], p5[1]) > max(p1[1], p2[1])
-        and min(p1[1], p2[1]) < p3[1]
-        and p3[1] < max(p4[1], p5[1])
-    )
-    return np.stack([p1, p2, p3, p4, p5]), bool(cond)
+    dst = np.stack([p1, p2, p3, p4, p5])
+    return dst, bool(landmarks_geometrically_sane(dst))
 
 
 def build_fan(num_modules=4, weights_path=None):

@@ -19,6 +19,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def coerce_dtype(d):
+    """JSON configs name dtypes as strings ("bfloat16"); accept those
+    alongside real jnp dtypes (None passes through). The single
+    implementation of the config contract — constructors and builders
+    all route through here."""
+    if d is None or not isinstance(d, str):
+        return d
+    return jnp.dtype(d).type
+
+
 Dtype = Any
 
 

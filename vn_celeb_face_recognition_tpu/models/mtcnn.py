@@ -41,7 +41,7 @@ from ..ops.image import (
     grouped_crop_area_resize,
     pyramid_area_resize,
 )
-from .layers import PReLU, max_pool_ceil
+from .layers import PReLU, coerce_dtype, max_pool_ceil
 
 
 # ---------------------------------------------------------------------------
@@ -349,9 +349,7 @@ class MTCNN:
         self.rnet_cap = rnet_cap
         self.onet_cap = onet_cap
         self.out_cap = out_cap
-        if isinstance(dtype, str):  # JSON configs: "bfloat16"
-            dtype = jnp.dtype(dtype).type
-        self.dtype = dtype
+        self.dtype = coerce_dtype(dtype)
         # fuse conv1+PReLU+ceil-pool into one space-to-depth conv in
         # the cascade's stage 1 (numerically exact; see
         # _fused_pnet_apply)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import boxes as B
+from .layers import coerce_dtype
 from .resnet_common import ResLayer, _bn as _res_bn
 
 
@@ -328,8 +329,7 @@ class RetinaFace:
         self.out_cap = 16  # fused-engine per-frame face capacity
         self.channels_subtract = (104.0, 117.0, 123.0)
 
-        if isinstance(dtype, str):  # JSON configs: "bfloat16"
-            dtype = jnp.dtype(dtype).type
+        dtype = coerce_dtype(dtype)
         self.net = RetinaFaceNet(
             backbone=self.cfg["name"], out_channel=self.cfg["out_channel"],
             phase=phase, dtype=dtype,
