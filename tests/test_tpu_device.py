@@ -40,7 +40,7 @@ def test_warp_pallas_device_matches_interpret(rng):
     )
 
     windows = np.stack(
-        [smooth_image(rng, 224, 224) for _ in range(4)]
+        [smooth_image(rng, 224) for _ in range(4)]
     ).astype(np.float32)
 
     def mat(deg, s, cx, cy):
