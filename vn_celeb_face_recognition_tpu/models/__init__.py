@@ -46,9 +46,6 @@ def build_model(name, **args):
     return builders[name](**args)
 
 
-
-
-
 def _build_mlp(input_dim, num_classes, **kwargs):
     return MLPModel(input_dim=input_dim, num_classes=num_classes), None
 
