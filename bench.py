@@ -109,7 +109,17 @@ def main():
                          pnet_cap_per_scale=128, cross_cap=256,
                          rnet_cap=64, onet_cap=32, out_cap=8,
                          dtype=jnp.bfloat16)
-    encoder = InceptionResnetV1(dtype=jnp.bfloat16)
+    enc_kind = next((a.split("=")[1] for a in sys.argv
+                     if a.startswith("--encoder=")), "facenet").lower()
+    if enc_kind == "iresnet100":
+        # the production embedding config's encoder
+        # (cfg/embedding/iresnet100_enc.json, the reference demo CLIs'
+        # default -eargs)
+        from vn_celeb_face_recognition_tpu.models import iresnet100
+
+        encoder = iresnet100(dtype=jnp.bfloat16)
+    else:
+        encoder = InceptionResnetV1(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))
     classifier = MLPModel(input_dim=512, num_classes=1001)
@@ -189,7 +199,8 @@ def main():
     faces_per_sec = total_faces / dt
     frames_per_sec = batch * iters / dt
     result = {
-        "metric": f"detect[{det_kind}]+align+embed+classify throughput "
+        "metric": f"detect[{det_kind}]+align+embed[{enc_kind}]"
+                  "+classify throughput "
                   f"(640x640 frames, {faces_per_frame} faces/frame, "
                   f"batch {batch}, {basis_note}, "
                   f"video {frames_per_sec:.1f} frames/sec on-chip; "
