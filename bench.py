@@ -75,7 +75,9 @@ def main():
     batch = int(float(next((a.split("=")[1] for a in sys.argv
                             if a.startswith("--batch=")), 32)))
     size = 640
-    faces_per_frame = 4
+    faces_per_frame = int(float(next(
+        (a.split("=")[1] for a in sys.argv
+         if a.startswith("--faces_per_frame=")), 4)))
     # the single drain fetch at the end pays one relay round trip
     # (25-100 ms through this rig's tunnel); 60 iterations amortise it
     # to <2% of a ~12 ms chunk (at 20 it was up to 5 ms/chunk of noise)
