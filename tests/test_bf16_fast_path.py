@@ -13,15 +13,17 @@ import glob
 import numpy as np
 import pytest
 
+from toy_data import toy_face_files
+
 import jax
 import jax.numpy as jnp
 from PIL import Image
 
 
 def _face_image(size=160):
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     face = np.asarray(
         Image.open(files[0]).convert("RGB").resize((100, 100))
     )

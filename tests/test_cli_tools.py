@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+from toy_data import toy_face_files
+
 
 @pytest.fixture(scope="module")
 def aligned_faces_dir(tmp_path_factory):
@@ -131,9 +133,9 @@ def test_mtcnn_forward_extract(tmp_path):
 
     from vn_celeb_face_recognition_tpu.models import MTCNN
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     img = np.asarray(
         Image.open(files[0]).convert("RGB").resize((160, 160))
     )
@@ -226,9 +228,9 @@ def test_mtcnn_extract_save_path(tmp_path):
 
     from vn_celeb_face_recognition_tpu.models import MTCNN
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     img = np.asarray(
         Image.open(files[0]).convert("RGB").resize((160, 160))
     )

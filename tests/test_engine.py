@@ -6,6 +6,8 @@ import glob
 import numpy as np
 import pytest
 
+from toy_data import toy_face_files
+
 import jax
 import jax.numpy as jnp
 
@@ -23,9 +25,9 @@ def test_fused_engine_end_to_end(rng):
         FusedRecognitionEngine,
     )
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     face = np.asarray(
         Image.open(files[0]).convert("RGB").resize((120, 120))
     )
@@ -122,9 +124,9 @@ def test_fused_engine_sharded_matches_single(rng):
         FusedRecognitionEngine,
     )
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     face = np.asarray(
         Image.open(files[0]).convert("RGB").resize((80, 80))
     )
@@ -194,9 +196,9 @@ def test_fused_engine_face_cap_compaction(rng):
         FusedRecognitionEngine,
     )
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     face = np.asarray(
         Image.open(files[0]).convert("RGB").resize((80, 80))
     )
@@ -270,9 +272,9 @@ def test_fused_engine_sharded_with_face_cap(rng):
         FusedRecognitionEngine,
     )
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     face = np.asarray(
         Image.open(files[0]).convert("RGB").resize((80, 80))
     )
@@ -329,9 +331,9 @@ def test_fused_engine_emotion_head(rng):
 
     from PIL import Image
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     face = np.asarray(
         Image.open(files[0]).convert("RGB").resize((120, 120))
     )

@@ -14,6 +14,8 @@ import glob
 import numpy as np
 import pytest
 
+from toy_data import toy_face_files
+
 from vn_celeb_face_recognition_tpu.models import MTCNN
 
 torch = pytest.importorskip("torch")
@@ -55,7 +57,7 @@ def iou(a, b):
 def test_cascade_matches_reference_on_faces(ref_detect):
     from PIL import Image
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))[:4]
+    files = toy_face_files()[:4]
     det = MTCNN(min_face_size=20, keep_all=True)
 
     matched, total = 0, 0
