@@ -145,15 +145,17 @@ class TFAN(torch_nn.Module):
 
 
 @pytest.mark.slow
-def test_fan_parity(rng):
-    """Two stacked modules exercise the al/bl feedback path; random
-    shared weights, both intermediate heatmap sets must match."""
+@pytest.mark.parametrize("num_modules", [2, 4])
+def test_fan_parity(rng, num_modules):
+    """Stacked-module parity: 2 modules exercise the al/bl feedback
+    path, 4 modules are the released 2DFAN4 depth — random shared
+    weights, every intermediate heatmap set must match."""
     torch.manual_seed(0)
-    ref = TFAN(num_modules=2)
+    ref = TFAN(num_modules=num_modules)
     ref.eval()
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
-    net = FAN(num_modules=2)
+    net = FAN(num_modules=num_modules)
     variables = convert_state_dict(sd)
     init_vars = net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 256, 256, 3)))
@@ -164,7 +166,7 @@ def test_fan_parity(rng):
         want = ref(torch.from_numpy(x))
     got = net.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                     train=False)
-    assert len(got) == len(want) == 2
+    assert len(got) == len(want) == num_modules
     for g, w in zip(got, want):
         g = np.asarray(g).transpose(0, 3, 1, 2)
         w = w.numpy()

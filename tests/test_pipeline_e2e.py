@@ -13,14 +13,16 @@ import os
 import numpy as np
 import pytest
 
+from toy_data import toy_face_files
+
 
 @pytest.fixture(scope="module")
 def face_image():
     from PIL import Image
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = toy_face_files()
     if not files:
-        pytest.skip("reference toy images unavailable")
+        pytest.skip("toy face fixture unavailable")
     return np.asarray(
         Image.open(files[0]).convert("RGB").resize((160, 160)),
         dtype=np.uint8,
@@ -475,3 +477,55 @@ def test_demo_video_main_cli(face_image, pipeline_files, tmp_path,
     assert len(df) == 4
     assert os.path.exists(tmp_path / "cli_frames" / "frame_1.png")
     assert os.path.exists(out_video)
+
+
+@pytest.mark.slow
+def test_demo_image_fan_seq_end_to_end(face_image, pipeline_files,
+                                       tmp_path, monkeypatch):
+    """--fan_weights drives the reference's per-face FAN flow
+    (demo_image.py:201-234,242-270): crop -> 4-module 2DFAN ->
+    heatmap decode -> 68->5 reduction -> warp -> embed -> classify.
+
+    The weights are a converted random-init 4-module state_dict (the
+    released checkpoint's exact manifest — test_fan4_manifest); random
+    landmarks usually fail the geometric sanity gate, so the gate is
+    wrapped to always accept while still RUNNING the real reduction
+    (the gate itself is pinned by test_fan_parity /
+    test_landmarker_end_to_end_shapes). Every numeric stage is real.
+    """
+    import cv2
+
+    import demo_image
+    import vn_celeb_face_recognition_tpu.models.fan as fan_mod
+    from test_fan_parity import TFAN
+
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    ref = TFAN(num_modules=4)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    fan_npz = tmp_path / "fan4.npz"
+    np.savez(fan_npz, **sd)
+
+    real_reduce = fan_mod.reduce_to_5_points
+
+    def lenient_reduce(pts68):
+        lm, _ = real_reduce(pts68)
+        return lm, True
+
+    monkeypatch.setattr(fan_mod, "reduce_to_5_points", lenient_reduce)
+
+    img_path = str(tmp_path / "in.png")
+    out_path = str(tmp_path / "out_fan.png")
+    cv2.imwrite(img_path, cv2.cvtColor(face_image, cv2.COLOR_RGB2BGR))
+    args = make_args(
+        pipeline_files,
+        image_path=img_path,
+        output_path=out_path,
+        inference_method="seq_fd_vs_aln",
+        fan_weights=str(fan_npz),
+        recog_threshold=0.0,
+    )
+    names, boxes = demo_image.main(args)
+    assert os.path.exists(out_path)
+    assert len(names) == len(boxes) == 1
+    assert names[0].startswith("Person_") or names[0] == "Unknown"
