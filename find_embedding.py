@@ -43,29 +43,45 @@ def iter_image_batches_native(data_dir, list_files, batch_size, size,
         yield data, names
 
 
-def iter_image_batches(data_dir, list_files, batch_size, prefetch=4):
-    """Decode images on a background thread into fixed-size batches."""
+def iter_image_batches(data_dir, list_files, batch_size, prefetch=4,
+                       size=None):
+    """Decode images on a background thread into fixed-size batches.
+
+    ``size``: decode every image to ``size`` x ``size``. Default None
+    locks onto the FIRST image's dimensions so mixed-size directories
+    (e.g. the toy fixture: 181px and 127px crops) still batch — the
+    reference's torch.stack simply crashed there. Producer exceptions
+    propagate to the consumer instead of deadlocking the queue.
+    """
     from PIL import Image
 
     q = queue.Queue(maxsize=prefetch)
     sentinel = object()
 
     def producer():
-        batch, names = [], []
-        for fname in list_files:
-            with Image.open(str(Path(data_dir) / fname)) as img:
-                batch.append(
-                    np.asarray(img.convert("RGB"), dtype=np.uint8)
-                )
-            names.append(fname)
-            if len(batch) == batch_size:
-                q.put((np.stack(batch), names))
-                batch, names = [], []
-        if batch:
-            n_real = len(batch)
-            while len(batch) < batch_size:  # pad the tail batch
-                batch.append(batch[0])
-            q.put((np.stack(batch), names[:n_real]))
+        try:
+            target = (size, size) if size else None
+            batch, names = [], []
+            for fname in list_files:
+                with Image.open(str(Path(data_dir) / fname)) as img:
+                    img = img.convert("RGB")
+                    if target is None:
+                        target = img.size
+                    if img.size != target:
+                        img = img.resize(target, Image.BILINEAR)
+                    batch.append(np.asarray(img, dtype=np.uint8))
+                names.append(fname)
+                if len(batch) == batch_size:
+                    q.put((np.stack(batch), names))
+                    batch, names = [], []
+            if batch:
+                n_real = len(batch)
+                while len(batch) < batch_size:  # pad the tail batch
+                    batch.append(batch[0])
+                q.put((np.stack(batch), names[:n_real]))
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            q.put(("__error__", exc))
+            return
         q.put(sentinel)
 
     threading.Thread(target=producer, daemon=True).start()
@@ -73,6 +89,10 @@ def iter_image_batches(data_dir, list_files, batch_size, prefetch=4):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, tuple) and len(item) == 2 \
+                and isinstance(item[1], BaseException) \
+                and item[0] == "__error__":
+            raise item[1]
         yield item
 
 
@@ -102,7 +122,8 @@ def cal_embedding(data_dir, batch_size, model, output_dir, log=True,
         iter_image_batches_native(data_dir, list_files, batch_size,
                                   native_size)
         if use_native
-        else iter_image_batches(data_dir, list_files, batch_size)
+        else iter_image_batches(data_dir, list_files, batch_size,
+                                size=native_size)
     )
     for idx, (batch, names) in enumerate(batches):
         embeddings = model(batch.astype(np.float32))
@@ -133,11 +154,18 @@ if __name__ == "__main__":
     from vn_celeb_face_recognition_tpu.utils import select_platform
 
     select_platform(args.device)
+    # '' / 'none' -> random init (lets the CLI run without the
+    # published weights, e.g. for plumbing drives; the reference's
+    # loader had no such escape and raised)
+    pre_trained = args.pre_trained
+    if isinstance(pre_trained, str) and pre_trained.lower() in ("",
+                                                                "none"):
+        pre_trained = None
     if args.encoder == "InceptionResnetV1":
         model = Encoder.build("InceptionResnetV1",
-                              pretrained=args.pre_trained)
+                              pretrained=pre_trained)
     else:
-        model = Encoder.build(args.encoder, pretrained=True)
+        model = Encoder.build(args.encoder, pretrained=bool(pre_trained))
     model.transform = transforms_dict["default"]
     cal_embedding(args.data_dir, args.batch_size, model, args.output_dir,
                   native_size=args.image_size)
