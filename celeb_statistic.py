@@ -161,6 +161,10 @@ def main():
     if args.video_path is None:
         args.video_path = args.image_path
 
+    from vn_celeb_face_recognition_tpu.utils import select_platform
+
+    select_platform(args.device)
+
     import pandas as pd
 
     if args.local_thresholds != "":

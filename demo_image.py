@@ -165,4 +165,8 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(build_arg_parser().parse_args())
+    from vn_celeb_face_recognition_tpu.utils import select_platform
+
+    _args = build_arg_parser().parse_args()
+    select_platform(_args.device)
+    main(_args)

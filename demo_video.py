@@ -419,6 +419,9 @@ def main():
     if args.video_path is None:
         args.video_path = args.image_path  # -i works like the reference
 
+    from vn_celeb_face_recognition_tpu.utils import select_platform
+
+    select_platform(args.device)
     models = setup_models(args)
     target_fs = (args.target_face_size, args.target_face_size)
     center_point = center_point_dict[str(target_fs)]
