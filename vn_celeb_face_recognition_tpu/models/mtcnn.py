@@ -324,10 +324,10 @@ class MTCNN:
         keep_all=False,
         device=None,
         weights_dir=None,
-        pnet_cap_per_scale=448,
-        cross_cap=512,
-        rnet_cap=256,
-        onet_cap=128,
+        pnet_cap_per_scale=None,
+        cross_cap=None,
+        rnet_cap=None,
+        onet_cap=None,
         out_cap=64,
         dtype=jnp.float32,
         fast_pnet=True,
@@ -344,6 +344,12 @@ class MTCNN:
         self.selection_method = selection_method or (
             "largest" if select_largest else "probability"
         )
+        # capacity knobs: None = auto — the 640x640-tuned base profile
+        # scaled UP with frame area (candidate counts grow ~linearly
+        # with pixels; a 1080p crowd must not silently lean on top-k
+        # ordering at 640x640-sized caps). Explicit values are used
+        # verbatim. out_cap stays static: it is the engine's per-frame
+        # output contract, not an intermediate buffer.
         self.pnet_cap_per_scale = pnet_cap_per_scale
         self.cross_cap = cross_cap
         self.rnet_cap = rnet_cap
@@ -392,16 +398,52 @@ class MTCNN:
             minl *= self.factor
         return scales
 
+    # -- capacity profile ----------------------------------------------
+
+    # base per-stage caps, tuned on 640x640 frames (bench.py / the
+    # STATUS.md chunk budget table)
+    _BASE_CAPS = {
+        "pnet_cap_per_scale": 448,
+        "cross_cap": 512,
+        "rnet_cap": 256,
+        "onet_cap": 128,
+    }
+    _BASE_CAP_AREA = 640.0 * 640.0
+
+    def capacity_profile(self, h, w):
+        """Effective per-stage caps for an ``h`` x ``w`` frame.
+
+        Auto knobs (left as None) scale the base profile linearly with
+        frame area above the 640x640 tuning point, rounded up to a
+        multiple of 64 (top-k/NMS tile friendliness) and clamped at 8x
+        — a 1920x1080 frame gets rnet_cap 1344 instead of silently
+        truncating a 50+ face crowd at 256. Smaller frames keep the
+        base profile (caps never shrink below it)."""
+        area_scale = min(max(1.0, (h * w) / self._BASE_CAP_AREA), 8.0)
+        caps = {}
+        for name, base in self._BASE_CAPS.items():
+            explicit = getattr(self, name)
+            if explicit is not None:
+                caps[name] = int(explicit)
+            elif area_scale <= 1.0:
+                caps[name] = base
+            else:
+                caps[name] = int(-(-base * area_scale // 64) * 64)
+        caps["out_cap"] = int(self.out_cap)
+        return caps
+
     # -- the jitted cascade --------------------------------------------
 
     def _build_detect_fn(self, batch, h, w):
         scales = self._scales(h, w)
         thr = self.thresholds
-        k1 = self.pnet_cap_per_scale
-        kx = self.cross_cap
-        k2 = self.rnet_cap
-        k3 = self.onet_cap
-        kout = self.out_cap
+        caps = self.capacity_profile(h, w)
+        self._last_caps = caps
+        k1 = caps["pnet_cap_per_scale"]
+        kx = caps["cross_cap"]
+        k2 = caps["rnet_cap"]
+        k3 = caps["onet_cap"]
+        kout = caps["out_cap"]
         pnet, rnet, onet = self.pnet, self.rnet, self.onet
         cdtype = self.dtype  # compute dtype for resizes + nets; box
         # math and scores stay f32
@@ -612,8 +654,9 @@ class MTCNN:
         import warnings
 
         counts = np.asarray(sat_counts).reshape(-1)
-        caps = (self.pnet_cap_per_scale, self.cross_cap, self.rnet_cap,
-                self.onet_cap, self.out_cap)
+        cap_map = getattr(self, "_last_caps", None) or \
+            self.capacity_profile(0, 0)
+        caps = tuple(cap_map[name] for name in self._SAT_STAGES)
         saturated = []
         for name, count, cap in zip(self._SAT_STAGES, counts, caps):
             if int(count) >= cap:
