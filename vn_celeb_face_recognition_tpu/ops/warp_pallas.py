@@ -145,13 +145,21 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, tbuf, *,
         # most `dev` (|coeff| <= tan(22.5deg)/sin(45deg) bounds the
         # in-block drift), so the static single-lane rotates + selects
         # that recover per-row exactness batch across ALL faces.
+        #
+        # The FRACTIONAL lerp is fused into the same variant loop:
+        # shift k_y's +1 neighbour (variant d+1) is already the next
+        # chained roll, so two select-accumulators (integer result and
+        # its +1 neighbour) and one per-block lerp replace the old
+        # separate full-plane roll + full-plane read-modify-write per
+        # pass — the variants chain as single-lane rolls (v_{d+1} =
+        # roll(v_d, -1)) instead of independent multi-lane rotates.
         nb = 8
         yv8 = (jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
                .astype(jnp.float32))
         for b in range(blk_lo, blk_hi):
             y0 = b * nb
             base_y = y0 + (nb - 1) / 2.0 - cm
-            slabs, deltas = [], []
+            slabs, deltas, frs = [], [], []
             for f in range(nf):
                 coeff = coeffs[f]
                 k0 = jnp.clip(
@@ -160,31 +168,30 @@ def _warp_kernel(params_ref, window_ref, out_ref, buf_a, buf_b, tbuf, *,
                 slab = src_ref[f * ch:(f + 1) * ch, y0:y0 + nb, :]
                 slabs.append(
                     pltpu.roll(slab, jnp.mod(-k0, np_w), axis=2))
+                sy = coeff * (yv8 + (y0 - cm))
                 ky = jnp.clip(
-                    jnp.floor(coeff * (yv8 + (y0 - cm))).astype(
-                        jnp.int32), -pad, pad)
+                    jnp.floor(sy).astype(jnp.int32), -pad, pad)
                 deltas.append(jnp.broadcast_to(ky - k0, (ch, nb, 1)))
+                frs.append(jnp.broadcast_to(sy - jnp.floor(sy),
+                                            (ch, nb, 1)))
             r0 = jnp.concatenate(slabs, axis=0)    # [nf*C, nb, Wp]
             delta = jnp.concatenate(deltas, axis=0)
-            acc = jnp.zeros_like(r0)
-            for d in range(-dev, dev + 1):
-                rd = (pltpu.roll(r0, np_w - d, axis=2) if d > 0
-                      else pltpu.roll(r0, -d, axis=2) if d < 0
-                      else r0)
-                acc = jnp.where(delta == d, rd, acc)
-            dst_ref[:, y0:y0 + nb, _LO:_LO + m] = acc[:, :, _LO:_LO + m]
-        # ...fractional part as ONE stack-wide lerp, interior only
-        fr = jnp.concatenate([
-            jnp.broadcast_to(
-                (coeffs[f] * ys_col
-                 - jnp.floor(coeffs[f] * ys_col))[None], (ch, m, 1))
-            for f in range(nf)
-        ], axis=0)                                   # [nf*C, m, 1]
-        v = dst_ref[...]
-        v1 = pltpu.roll(v, np_w - 1, axis=2)
-        dst_ref[:, :, _LO:_LO + m] = (
-            v * (1.0 - fr) + v1 * fr
-        )[:, :, _LO:_LO + m]
+            fr = jnp.concatenate(frs, axis=0)
+            acc0 = jnp.zeros_like(r0)
+            acc1 = jnp.zeros_like(r0)
+            # chained variants d = -dev .. dev+1; d covers the integer
+            # accumulator, d+1 feeds the neighbour accumulator
+            rd = pltpu.roll(r0, dev, axis=2)       # variant d=-dev
+            for d in range(-dev, dev + 2):
+                if d <= dev:
+                    acc0 = jnp.where(delta == d, rd, acc0)
+                if d > -dev:
+                    acc1 = jnp.where(delta == d - 1, rd, acc1)
+                if d <= dev:
+                    rd = pltpu.roll(rd, np_w - 1, axis=2)
+            out_blk = acc0 * (1.0 - fr) + acc1 * fr
+            dst_ref[:, y0:y0 + nb, _LO:_LO + m] = \
+                out_blk[:, :, _LO:_LO + m]
 
     nblk = _M // 8
     # |alpha| <= tan(pi/8): in-block drift 0.415*3.5 -> floor diff <= 2
