@@ -1,29 +1,70 @@
 """Headline benchmark: detect + align + embed + classify faces/sec/chip.
 
-Runs the fused recognition engine (MTCNN with the published cascade
-weights -> Umeyama/warp alignment -> InceptionResnetV1 512-d embedding
--> MLP classifier over 1001 classes) on synthetic 640x640 frame chunks
-carrying real face crops (the reference repo's shipped toy faces), and
-reports end-to-end VALID faces recognised per second on one chip.
+Runs the fused recognition engine on synthetic 640x640 frame chunks
+carrying real face crops (the vendored toy fixture) and reports
+end-to-end VALID faces recognised per second on one chip, plus MFU
+(achieved TFLOP/s over the v5e bf16 peak, from the analytic per-stage
+FLOP table bench_flops.json written by tools/flops_audit.py).
+
+Configurations:
+  (default)                MTCNN + InceptionResnetV1, 1001 classes —
+                           the reference demo CLI defaults
+                           (/root/reference/demo_image.py:312-352).
+  --production             RetinaFace cfg_mnet + iresnet100 + fused
+                           emotion head + 1020-class MLP — the exact
+                           published production pipeline
+                           (/root/reference/scripts/celeb_stat_dynamic_itv.sh:1-8).
+  --detector= --encoder= --emotion=1 --num_classes=  compose freely.
+
+Face-size semantics: aligned faces are target_fs=112 for EVERY encoder
+— the reference's own demo/production default (-tg_fs 112,
+/root/reference/demo_image.py:334), even though facenet's canonical
+training size is 160 (the reference feeds it 112-aligned crops too).
+Override with --target_fs=160 to measure facenet at its native size.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "faces/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "faces/sec/chip",
+   "vs_baseline": N, "mfu": ..., "stage_flops_pct": {...}}
 Baseline: 5000 faces/sec/chip (BASELINE.md driver target).
+
+With --mfu_stages=1 each stage (cascade / encoder / classifier /
+emotion) is additionally timed as its OWN on-chip program and a
+per-stage MFU table is emitted (extra compiles; the persistent
+compilation cache makes repeats cheap).
 """
 
 import glob
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+V5E_BF16_PEAK = 197e12  # TPU v5e: 197 TFLOP/s bf16 per chip
+
+
+def _arg(name, default):
+    return next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith(f"--{name}=")), default)
+
+
+def _flag(name):
+    return any(a == f"--{name}" or a.startswith(f"--{name}=")
+               and a.split("=", 1)[1] not in ("0", "false")
+               for a in sys.argv)
 
 
 def build_frames(batch, size, faces_per_frame, face_px=144):
     """Frames with real face crops pasted on a flat background."""
     from PIL import Image
 
-    files = sorted(glob.glob("/root/reference/data/*.png"))
+    files = []
+    for d in (os.path.join(HERE, "data"), "/root/reference/data"):
+        files = sorted(glob.glob(os.path.join(d, "*.png")))
+        if files:
+            break
     if not files:  # fall back to noise (detector finds nothing; still
         # measures the full pipeline cost)
         gen = np.random.default_rng(0)
@@ -53,6 +94,20 @@ def build_frames(batch, size, faces_per_frame, face_px=144):
     return frames
 
 
+def load_flops_entry(det_kind, enc_kind, emotion, batch, size, face_cap,
+                     num_classes):
+    """Committed analytic FLOP table (tools/flops_audit.py)."""
+    path = os.path.join(HERE, "bench_flops.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        table = json.load(fh)
+    key = (f"det={det_kind}|enc={enc_kind}|emotion={int(bool(emotion))}"
+           f"|batch={batch}|size={size}|face_cap={face_cap}"
+           f"|nc={num_classes}")
+    return table.get(key)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,19 +127,23 @@ def main():
         FusedRecognitionEngine,
     )
 
-    batch = int(float(next((a.split("=")[1] for a in sys.argv
-                            if a.startswith("--batch=")), 32)))
+    production = _flag("production")
+    batch = int(float(_arg("batch", 32)))
     size = 640
-    faces_per_frame = int(float(next(
-        (a.split("=")[1] for a in sys.argv
-         if a.startswith("--faces_per_frame=")), 4)))
+    faces_per_frame = int(float(_arg("faces_per_frame", 4)))
     # the single drain fetch at the end pays one relay round trip
     # (25-100 ms through this rig's tunnel); 60 iterations amortise it
     # to <2% of a ~12 ms chunk (at 20 it was up to 5 ms/chunk of noise)
-    iters = int(float(next((a.split("=")[1] for a in sys.argv
-                            if a.startswith("--iters=")), 60)))
-    det_kind = next((a.split("=")[1] for a in sys.argv
-                     if a.startswith("--detector=")), "mtcnn").lower()
+    iters = int(float(_arg("iters", 60)))
+    det_kind = _arg("detector",
+                    "retinaface" if production else "mtcnn").lower()
+    enc_kind = _arg("encoder",
+                    "iresnet100" if production else "facenet").lower()
+    with_emotion = production or _flag("emotion")
+    num_classes = int(float(_arg(
+        "num_classes", 1020 if production else 1001)))
+    target_fs = int(float(_arg("target_fs", 112)))
+    mfu_stages = _flag("mfu_stages")
 
     if det_kind == "retinaface":
         # the reference's PRODUCTION detector
@@ -96,8 +155,8 @@ def main():
         # face slots, encoder, classifier all fixed) and the one
         # data-dependent piece — the Jacobi NMS fixpoint — sees its
         # WORST case under random weights (every anchor passes
-        # conf 0.02, dense overlapping candidates), so this line is a
-        # conservative bound on real-weight deployment throughput.
+        # conf 0.02), so this line is a conservative bound on
+        # real-weight deployment throughput.
         from vn_celeb_face_recognition_tpu.models import RetinaFace
 
         detector = RetinaFace(
@@ -111,8 +170,6 @@ def main():
                          pnet_cap_per_scale=128, cross_cap=256,
                          rnet_cap=64, onet_cap=32, out_cap=8,
                          dtype=jnp.bfloat16)
-    enc_kind = next((a.split("=")[1] for a in sys.argv
-                     if a.startswith("--encoder=")), "facenet").lower()
     if enc_kind == "iresnet100":
         # the production embedding config's encoder
         # (cfg/embedding/iresnet100_enc.json, the reference demo CLIs'
@@ -123,19 +180,35 @@ def main():
     else:
         encoder = InceptionResnetV1(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    enc_vars = encoder.init(key, jnp.zeros((1, 112, 112, 3)))
-    classifier = MLPModel(input_dim=512, num_classes=1001)
+    enc_vars = encoder.init(key,
+                            jnp.zeros((1, target_fs, target_fs, 3)))
+    classifier = MLPModel(input_dim=512, num_classes=num_classes)
     clf_vars = classifier.init(key, jnp.zeros((1, 512)))
+
+    emotion_mod = emotion_vars = None
+    if with_emotion:
+        # the production scripts run --recog_emotion: the 2-branch
+        # ResNet-50 fused into the chunk program on the aligned faces
+        from vn_celeb_face_recognition_tpu.models import (
+            resnet_2branch_50,
+        )
+
+        emotion_mod = resnet_2branch_50(num_classes=690,
+                                        dtype=jnp.bfloat16)
+        emotion_vars = emotion_mod.init(
+            key, jnp.zeros((1, 224, 224, 3))
+        )
 
     # global align/embed budget: 4 faces/frame pasted, 25% headroom;
     # the engine warns + reports face_cap_overflow if a chunk exceeds
     # it (compaction is output-identical below the cap)
-    face_cap = int(float(next((a.split("=")[1] for a in sys.argv
-                               if a.startswith("--face_cap=")),
+    face_cap = int(float(_arg("face_cap",
                               batch * faces_per_frame + batch)))
     engine = FusedRecognitionEngine(
         detector, encoder, enc_vars, classifier, clf_vars,
-        target_fs=112, compute_dtype=jnp.bfloat16, face_cap=face_cap,
+        target_fs=target_fs, compute_dtype=jnp.bfloat16,
+        face_cap=face_cap, emotion=emotion_mod,
+        emotion_variables=emotion_vars,
     )
 
     frames = build_frames(batch, size, faces_per_frame)
@@ -180,12 +253,11 @@ def main():
         out = engine.process(chunk_devs[i % 2])
     float(np.asarray(jax.device_get(out["scores"]))[0, 0])
     dt = time.time() - t0
-
-    import os as _os
+    chunk_ms = dt / iters * 1000.0
 
     faces_basis = valid_per_chunk
     basis_note = f"{valid_per_chunk:g} valid faces/chunk"
-    if det_kind == "retinaface" and not _os.path.exists(
+    if det_kind == "retinaface" and not os.path.exists(
         "vn_celeb_face_recognition_tpu/models/weights/"
         "retinaface_mnet025.npz"
     ):
@@ -200,28 +272,125 @@ def main():
     total_faces = faces_basis * iters
     faces_per_sec = total_faces / dt
     frames_per_sec = batch * iters / dt
+
+    # ---- MFU from the committed analytic FLOP table ------------------
+    flops_entry = load_flops_entry(det_kind, enc_kind, with_emotion,
+                                   batch, size, face_cap, num_classes)
+    mfu = None
+    stage_pct = None
+    if flops_entry:
+        total_flops = flops_entry["total_flops"]
+        achieved = total_flops / (dt / iters)
+        mfu = achieved / V5E_BF16_PEAK
+        stage_pct = {
+            k: round(100.0 * v / total_flops, 1)
+            for k, v in sorted(flops_entry["stage_flops"].items(),
+                               key=lambda kv: -kv[1])
+        }
+
+    stage_mfu = None
+    if mfu_stages and flops_entry:
+        stage_mfu = run_stage_mfu(
+            jax, jnp, detector, engine, chunk_devs[0], enc_vars,
+            clf_vars, encoder, classifier, emotion_mod, emotion_vars,
+            face_cap, target_fs, iters, flops_entry, chunk_ms,
+        )
+
+    cfg_name = "production " if production else ""
     result = {
-        "metric": f"detect[{det_kind}]+align+embed[{enc_kind}]"
-                  "+classify throughput "
-                  f"(640x640 frames, {faces_per_frame} faces/frame, "
-                  f"batch {batch}, {basis_note}, "
-                  f"video {frames_per_sec:.1f} frames/sec on-chip; "
-                  f"host->device upload of a chunk costs "
-                  f"{transfer_s * 1000:.0f} ms through this rig's "
-                  "relay tunnel)",
+        "metric": f"{cfg_name}detect[{det_kind}]+align"
+                  f"+embed[{enc_kind}]+classify"
+                  f"{'+emotion' if with_emotion else ''} throughput "
+                  f"({size}x{size} frames, {faces_per_frame} "
+                  f"faces/frame, batch {batch}, {basis_note}, "
+                  f"{num_classes}-class head, "
+                  f"video {frames_per_sec:.1f} frames/sec on-chip, "
+                  f"{chunk_ms:.1f} ms/chunk; host->device upload of a "
+                  f"chunk costs {transfer_s * 1000:.0f} ms through "
+                  "this rig's relay tunnel)",
         "value": round(faces_per_sec, 2),
         "unit": "faces/sec/chip",
         "vs_baseline": round(faces_per_sec / 5000.0, 4),
     }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+        result["achieved_tflops"] = round(
+            flops_entry["total_flops"] / (dt / iters) / 1e12, 2)
+        result["stage_flops_pct"] = stage_pct
+    if stage_mfu is not None:
+        result["stage_mfu"] = stage_mfu
     print(json.dumps(result))
+
+
+def run_stage_mfu(jax, jnp, detector, engine, chunk_dev, enc_vars,
+                  clf_vars, encoder, classifier, emotion_mod,
+                  emotion_vars, face_cap, target_fs, iters, flops_entry,
+                  chunk_ms):
+    """Time each stage as its own on-chip program -> per-stage MFU.
+
+    The per-stage programs pay their own dispatch (~per-call overhead),
+    so small stages (classifier) read as dispatch-bound floors, not
+    kernel truths; the big stages (cascade, encoder, emotion) dominate
+    their own dispatch and the numbers are honest.
+    """
+    import jax as _jax
+
+    def timed(fn, *args):
+        out = fn(*args)  # compile + warm
+        # drain the in-order queue before timing (block_until_ready
+        # does not track remote completion on this rig)
+        np.asarray(_jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0]
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        leaf = _jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).reshape(-1)[0]
+        return (time.time() - t0) / iters
+
+    stage_t = {}
+    raw_detect = detector._build_detect_fn(*chunk_dev.shape[:3])
+    det_vars_dev = detector.variables
+    stage_t["cascade"] = timed(
+        _jax.jit(lambda v, f: raw_detect(v, f)), det_vars_dev, chunk_dev
+    )
+    faces = _jax.device_put(
+        np.zeros((face_cap, target_fs, target_fs, 3), np.float32))
+    stage_t["encoder"] = timed(
+        _jax.jit(lambda v, x: encoder.apply(v, x, train=False)),
+        enc_vars, faces,
+    )
+    embs = _jax.device_put(np.zeros((face_cap, 512), np.float32))
+    stage_t["classifier"] = timed(
+        _jax.jit(lambda v, e: classifier.apply(v, e, train=False)),
+        clf_vars, embs,
+    )
+    if emotion_mod is not None:
+        efaces = _jax.device_put(
+            np.zeros((face_cap, 224, 224, 3), np.float32))
+        stage_t["emotion"] = timed(
+            _jax.jit(lambda v, x: emotion_mod.apply(v, x, train=False)),
+            emotion_vars, efaces,
+        )
+    named_ms = sum(stage_t.values()) * 1000.0
+    stage_t["warp_glue"] = max(chunk_ms - named_ms, 0.0) / 1000.0
+
+    table = {}
+    for name, secs in stage_t.items():
+        fl = flops_entry["stage_flops"].get(name)
+        if fl is None or secs <= 0:
+            continue
+        table[name] = {
+            "ms": round(secs * 1000.0, 2),
+            "gflop": round(fl / 1e9, 2),
+            "tflops": round(fl / secs / 1e12, 2),
+            "mfu": round(fl / secs / V5E_BF16_PEAK, 4),
+        }
+    return table
 
 
 if __name__ == "__main__":
     main()
     # the relay client leaves non-daemon threads that block interpreter
     # shutdown on this rig; the JSON line is out, leave decisively
-    import os
-    import sys
-
     sys.stdout.flush()
     os._exit(0)
