@@ -144,6 +144,8 @@ if __name__ == "__main__":
     parser.add_argument("-det", "--detection", default="MTCNN", type=str)
     parser.add_argument("-dargs", "--detection_args",
                         default="cfg/detection/mtcnn.json", type=str)
+    parser.add_argument("--fan_dtype", default=None, type=str,
+                        help="FAN compute dtype, e.g. bfloat16")
     parser.add_argument("--fan_weights", default=None, type=str,
                         help="converted 2DFAN4 .npz -> use the FAN "
                              "68-point landmarker (reference "
@@ -164,7 +166,8 @@ if __name__ == "__main__":
     if args.fan_weights:
         from vn_celeb_face_recognition_tpu.models.fan import FANLandmarker
 
-        fa_model = FANLandmarker(weights_path=args.fan_weights)
+        fa_model = FANLandmarker(weights_path=args.fan_weights,
+                                 dtype=args.fan_dtype)
 
     aligned_size = tuple(args.aligned_size)
     center_point = center_point_dict[str(aligned_size)]

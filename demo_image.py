@@ -68,6 +68,9 @@ def build_arg_parser():
                    default="meta_data/emotion_recognition/etag2idx.pkl",
                    type=str)
     p.add_argument("--topk_emotions", default=6, type=int)
+    p.add_argument("--fan_dtype", default=None, type=str,
+                   help="FAN compute dtype, e.g. bfloat16 (MXU fast "
+                        "path; params stay f32, heatmaps return f32)")
     p.add_argument("--fan_weights", default=None, type=str,
                    help="converted 2DFAN4 .npz; enables the reference's "
                         "per-face FAN 68-point landmark flow in "
@@ -126,7 +129,10 @@ def main(args):
                 FANLandmarker,
             )
 
-            fa_model = FANLandmarker(weights_path=args.fan_weights)
+            fa_model = FANLandmarker(
+                weights_path=args.fan_weights,
+                dtype=getattr(args, "fan_dtype", None),
+            )
         bth_alg_faces, bth_chosen_boxes = sequential_detect_and_align(
             rgb_images, detection_md, center_point, target_fs,
             box_requirements, True, fa_model=fa_model,

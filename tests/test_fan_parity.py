@@ -241,3 +241,21 @@ def test_landmarker_end_to_end_shapes(rng):
     assert float(scl) == pytest.approx((80.0 + 90.0) / 195.0)
     # centre shifted UP by 12% of box height
     assert float(ctr[1]) == pytest.approx(65.0 - 90.0 * 0.12)
+
+
+def test_landmarker_bf16_matches_f32(rng):
+    """The bf16 compute-dtype fast path decodes (near-)identical
+    landmarks: heatmap deltas are ~1% of range and the decode is
+    argmax-based, so points agree within one heatmap cell."""
+    lm32 = FANLandmarker(num_modules=1)
+    lm16 = FANLandmarker(num_modules=1, dtype="bfloat16",
+                         variables=lm32.variables)
+    img = rng.integers(0, 255, size=(128, 128, 3)).astype(np.uint8)
+    p32 = lm32.get_landmarks(img)[0]
+    p16 = lm16.get_landmarks(img)[0]
+    # one heatmap cell on a 128px face window = 128/64 = 2 px; random
+    # weights produce flat heatmaps (the adversarial case for argmax
+    # stability) so allow a few cells of drift on a minority of points
+    d = np.linalg.norm(p32 - p16, axis=-1)
+    assert np.median(d) <= 2.0 + 1e-3
+    assert (d <= 8.0).mean() >= 0.9

@@ -36,15 +36,17 @@ TPU-first differences from the reference package:
     quarter-pixel neighbour-sign offset itself is reproduced exactly.
 """
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
 
-def _bn(name):
+def _bn(name, dtype=None):
     return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
-                        name=name)
+                        dtype=dtype, name=name)
 
 
 class ConvBlock(nn.Module):
@@ -54,24 +56,26 @@ class ConvBlock(nn.Module):
 
     in_planes: int
     out_planes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         half = self.out_planes // 2
         quarter = self.out_planes // 4
-        out1 = _bn("bn1")(x)
+        out1 = _bn("bn1", dt)(x)
         out1 = nn.Conv(half, (3, 3), padding=1, use_bias=False,
-                       name="conv1")(nn.relu(out1))
-        out2 = _bn("bn2")(out1)
+                       dtype=dt, name="conv1")(nn.relu(out1))
+        out2 = _bn("bn2", dt)(out1)
         out2 = nn.Conv(quarter, (3, 3), padding=1, use_bias=False,
-                       name="conv2")(nn.relu(out2))
-        out3 = _bn("bn3")(out2)
+                       dtype=dt, name="conv2")(nn.relu(out2))
+        out3 = _bn("bn3", dt)(out2)
         out3 = nn.Conv(quarter, (3, 3), padding=1, use_bias=False,
-                       name="conv3")(nn.relu(out3))
+                       dtype=dt, name="conv3")(nn.relu(out3))
         out = jnp.concatenate([out1, out2, out3], axis=-1)
         residual = x
         if self.in_planes != self.out_planes:
-            residual = DownsampleSkip(self.out_planes,
+            residual = DownsampleSkip(self.out_planes, dtype=dt,
                                       name="downsample")(x)
         return out + residual
 
@@ -80,13 +84,14 @@ class DownsampleSkip(nn.Module):
     """torch nn.Sequential(BatchNorm2d, ReLU, Conv1x1) -> keys 0/2."""
 
     out_planes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = _bn("0")(x)
+        x = _bn("0", self.dtype)(x)
         x = nn.relu(x)
         return nn.Conv(self.out_planes, (1, 1), use_bias=False,
-                       name="2")(x)
+                       dtype=self.dtype, name="2")(x)
 
 
 class HourGlass(nn.Module):
@@ -94,20 +99,23 @@ class HourGlass(nn.Module):
 
     depth: int = 4
     features: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         f = self.features
+        dt = self.dtype
 
         def level(n, inp):
-            up1 = ConvBlock(f, f, name=f"b1_{n}")(inp)
+            up1 = ConvBlock(f, f, dtype=dt, name=f"b1_{n}")(inp)
             low1 = nn.avg_pool(inp, (2, 2), strides=(2, 2))
-            low1 = ConvBlock(f, f, name=f"b2_{n}")(low1)
+            low1 = ConvBlock(f, f, dtype=dt, name=f"b2_{n}")(low1)
             if n > 1:
                 low2 = level(n - 1, low1)
             else:
-                low2 = ConvBlock(f, f, name=f"b2_plus_{n}")(low1)
-            low3 = ConvBlock(f, f, name=f"b3_{n}")(low2)
+                low2 = ConvBlock(f, f, dtype=dt,
+                                 name=f"b2_plus_{n}")(low1)
+            low3 = ConvBlock(f, f, dtype=dt, name=f"b3_{n}")(low2)
             up2 = jnp.repeat(jnp.repeat(low3, 2, axis=1), 2, axis=2)
             return up1 + up2
 
@@ -119,29 +127,37 @@ class FAN(nn.Module):
     heatmap list (NHWC, 64x64)."""
 
     num_modules: int = 4
+    # compute dtype: bf16 runs the hourglass convs on the MXU in bf16
+    # with f32 params; heatmaps return f32 for the decode. None keeps
+    # full f32 (the torch-parity path).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
-                    name="conv1")(x)
-        x = nn.relu(_bn("bn1")(x))
-        x = ConvBlock(64, 128, name="conv2")(x)
+                    dtype=dt, name="conv1")(x)
+        x = nn.relu(_bn("bn1", dt)(x))
+        x = ConvBlock(64, 128, dtype=dt, name="conv2")(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = ConvBlock(128, 128, name="conv3")(x)
-        x = ConvBlock(128, 256, name="conv4")(x)
+        x = ConvBlock(128, 128, dtype=dt, name="conv3")(x)
+        x = ConvBlock(128, 256, dtype=dt, name="conv4")(x)
 
         previous = x
         outputs = []
         for i in range(self.num_modules):
-            hg = HourGlass(name=f"m{i}")(previous)
-            ll = ConvBlock(256, 256, name=f"top_m_{i}")(hg)
-            ll = nn.Conv(256, (1, 1), name=f"conv_last{i}")(ll)
-            ll = nn.relu(_bn(f"bn_end{i}")(ll))
-            tmp_out = nn.Conv(68, (1, 1), name=f"l{i}")(ll)
-            outputs.append(tmp_out)
+            hg = HourGlass(dtype=dt, name=f"m{i}")(previous)
+            ll = ConvBlock(256, 256, dtype=dt, name=f"top_m_{i}")(hg)
+            ll = nn.Conv(256, (1, 1), dtype=dt, name=f"conv_last{i}")(ll)
+            ll = nn.relu(_bn(f"bn_end{i}", dt)(ll))
+            tmp_out = nn.Conv(68, (1, 1), dtype=dt, name=f"l{i}")(ll)
+            outputs.append(tmp_out.astype(jnp.float32))
             if i < self.num_modules - 1:
-                ll = nn.Conv(256, (1, 1), name=f"bl{i}")(ll)
-                tmp_out_ = nn.Conv(256, (1, 1), name=f"al{i}")(tmp_out)
+                ll = nn.Conv(256, (1, 1), dtype=dt, name=f"bl{i}")(ll)
+                tmp_out_ = nn.Conv(256, (1, 1), dtype=dt,
+                                   name=f"al{i}")(tmp_out)
                 previous = previous + ll + tmp_out_
         return outputs
 
@@ -237,8 +253,12 @@ class FANLandmarker:
         (tools/convert_weights.py generic); random init otherwise.
     """
 
-    def __init__(self, num_modules=4, weights_path=None, variables=None):
-        self.net = FAN(num_modules=num_modules)
+    def __init__(self, num_modules=4, weights_path=None, variables=None,
+                 dtype=None):
+        from .layers import coerce_dtype
+
+        self.net = FAN(num_modules=num_modules,
+                       dtype=coerce_dtype(dtype))
         if variables is None:
             import os
 
