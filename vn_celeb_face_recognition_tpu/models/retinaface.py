@@ -136,6 +136,25 @@ class MobileNetV1Stage(nn.Module):
         return x
 
 
+_S1_SPECS = (
+    ("conv_bn", 3, 8, 2),
+    ("conv_dw", 8, 16, 1),
+    ("conv_dw", 16, 32, 2),
+    ("conv_dw", 32, 32, 1),
+    ("conv_dw", 32, 64, 2),
+    ("conv_dw", 64, 64, 1),
+)
+_S2_SPECS = (
+    ("conv_dw", 64, 128, 2),
+    ("conv_dw", 128, 128, 1),
+    ("conv_dw", 128, 128, 1),
+    ("conv_dw", 128, 128, 1),
+    ("conv_dw", 128, 128, 1),
+    ("conv_dw", 128, 128, 1),
+)
+_S3_SPECS = (("conv_dw", 128, 256, 2), ("conv_dw", 256, 256, 1))
+
+
 class MobileNetV1Body(nn.Module):
     """The three stages tapped by the FPN (components.py:102-124)."""
 
@@ -143,35 +162,28 @@ class MobileNetV1Body(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        s1 = MobileNetV1Stage(
-            (
-                ("conv_bn", 3, 8, 2),
-                ("conv_dw", 8, 16, 1),
-                ("conv_dw", 16, 32, 2),
-                ("conv_dw", 32, 32, 1),
-                ("conv_dw", 32, 64, 2),
-                ("conv_dw", 64, 64, 1),
-            ),
-            dtype=self.dtype,
-            name="stage1",
-        )(x, train)
-        s2 = MobileNetV1Stage(
-            (
-                ("conv_dw", 64, 128, 2),
-                ("conv_dw", 128, 128, 1),
-                ("conv_dw", 128, 128, 1),
-                ("conv_dw", 128, 128, 1),
-                ("conv_dw", 128, 128, 1),
-                ("conv_dw", 128, 128, 1),
-            ),
-            dtype=self.dtype,
-            name="stage2",
-        )(s1, train)
-        s3 = MobileNetV1Stage(
-            (("conv_dw", 128, 256, 2), ("conv_dw", 256, 256, 1)),
-            dtype=self.dtype,
-            name="stage3",
-        )(s2, train)
+        s1 = MobileNetV1Stage(_S1_SPECS, dtype=self.dtype,
+                              name="stage1")(x, train)
+        s2 = MobileNetV1Stage(_S2_SPECS, dtype=self.dtype,
+                              name="stage2")(s1, train)
+        s3 = MobileNetV1Stage(_S3_SPECS, dtype=self.dtype,
+                              name="stage3")(s2, train)
+        return s1, s2, s3
+
+
+class MobileNetBodyFromS1(nn.Module):
+    """Stages 2-3 only, fed a precomputed s1 — same param tree paths
+    (``body/stage2``, ``body/stage3``) as the full body, so the one
+    checkpoint serves both graphs."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, s1, train: bool = False):
+        s2 = MobileNetV1Stage(_S2_SPECS, dtype=self.dtype,
+                              name="stage2")(s1, train)
+        s3 = MobileNetV1Stage(_S3_SPECS, dtype=self.dtype,
+                              name="stage3")(s2, train)
         return s1, s2, s3
 
 
@@ -277,6 +289,24 @@ class HeadList(nn.Module):
         return jnp.concatenate(outs, axis=1)
 
 
+def _net_tail(mod, feats, train):
+    """FPN -> SSH -> heads, shared by the full net and the from-s1
+    variant (submodules bind to the CALLER's compact scope, so both
+    graphs address the same checkpoint paths)."""
+    dt = mod.dtype
+    fpn = FPN(mod.out_channel, dtype=dt, name="fpn")(list(feats), train)
+    f1 = SSH(mod.out_channel, dtype=dt, name="ssh1")(fpn[0], train)
+    f2 = SSH(mod.out_channel, dtype=dt, name="ssh2")(fpn[1], train)
+    f3 = SSH(mod.out_channel, dtype=dt, name="ssh3")(fpn[2], train)
+    features = [f1, f2, f3]
+    bbox = HeadList(4, dtype=dt, name="BboxHead")(features)
+    cls = HeadList(2, dtype=dt, name="ClassHead")(features)
+    ldm = HeadList(10, dtype=dt, name="LandmarkHead")(features)
+    if mod.phase == "train":
+        return bbox, cls, ldm
+    return bbox, nn.softmax(cls, axis=-1), ldm
+
+
 class RetinaFaceNet(nn.Module):
     backbone: str  # 'mobilenet0.25' | 'Resnet50'
     out_channel: int
@@ -293,22 +323,36 @@ class RetinaFaceNet(nn.Module):
             feats = MobileNetV1Body(dtype=dt, name="body")(x, train)
         else:
             feats = ResNet50Body(dtype=dt, name="body")(x, train)
-        fpn = FPN(self.out_channel, dtype=dt, name="fpn")(list(feats), train)
-        f1 = SSH(self.out_channel, dtype=dt, name="ssh1")(fpn[0], train)
-        f2 = SSH(self.out_channel, dtype=dt, name="ssh2")(fpn[1], train)
-        f3 = SSH(self.out_channel, dtype=dt, name="ssh3")(fpn[2], train)
-        features = [f1, f2, f3]
-        bbox = HeadList(4, dtype=dt, name="BboxHead")(features)
-        cls = HeadList(2, dtype=dt, name="ClassHead")(features)
-        ldm = HeadList(10, dtype=dt, name="LandmarkHead")(features)
-        if self.phase == "train":
-            return bbox, cls, ldm
-        return bbox, nn.softmax(cls, axis=-1), ldm
+        return _net_tail(self, feats, train)
+
+
+class RetinaFaceNetFromS1(nn.Module):
+    """The mobilenet net with stage 1 hoisted out of flax: the caller
+    computes s1 (ops/planar_mnet.planar_stage1 — the plane-major fast
+    path) and this module runs stages 2-3 + FPN/SSH/heads on the SAME
+    checkpoint tree (the stage1 subtree simply goes unread)."""
+
+    out_channel: int
+    phase: str = "test"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, s1, train: bool = False):
+        feats = MobileNetBodyFromS1(dtype=self.dtype, name="body")(
+            s1, train)
+        return _net_tail(self, feats, train)
 
 
 # ---------------------------------------------------------------------------
 # Detector wrapper (host API parity with reference RetinaFace)
 # ---------------------------------------------------------------------------
+
+# Measured default for the plane-major stage-1 path (tools/
+# exp_planar_s1.py on v5e bench shapes): the planar formulation read
+# 17.2 ms vs 4.96 ms for the NHWC flax stage — the phase-split
+# transposes and per-tap shifted adds materialize more HBM traffic
+# than the lane padding they avoid. Kept opt-in for study.
+_PLANAR_S1_DEFAULT = False
 
 
 class RetinaFace:
@@ -316,7 +360,7 @@ class RetinaFace:
                  backbone_path=None, device=None, conf_thres=0.02,
                  topk_bf_nms=5000, keep_top_k=750, nms_thres=0.4,
                  vis_thres=0.6, checkpoint_path=None, nms_cap=1024,
-                 weights_path=None, dtype=None):
+                 weights_path=None, dtype=None, planar_stage1=None):
         self.cfg = _CONFIGS[backbone_cfg] if isinstance(backbone_cfg, str) \
             else backbone_cfg
         self.phase = phase
@@ -330,10 +374,22 @@ class RetinaFace:
         self.channels_subtract = (104.0, 117.0, 123.0)
 
         dtype = coerce_dtype(dtype)
+        self.dtype = dtype
         self.net = RetinaFaceNet(
             backbone=self.cfg["name"], out_channel=self.cfg["out_channel"],
             phase=phase, dtype=dtype,
         )
+        # plane-major stage 1 (ops/planar_mnet): identical math, fast
+        # layout for the tiny-channel blocks; mobilenet trunk only.
+        # None -> auto (measured default); True/False forces.
+        if planar_stage1 is None:
+            planar_stage1 = _PLANAR_S1_DEFAULT
+        self.planar_stage1 = bool(planar_stage1) and \
+            self.cfg["name"] == "mobilenet0.25"
+        self._tail_net = RetinaFaceNetFromS1(
+            out_channel=self.cfg["out_channel"], phase=phase,
+            dtype=dtype,
+        ) if self.planar_stage1 else None
         self.variables = None
         for path in [weights_path, checkpoint_path]:
             if path and os.path.exists(path):
@@ -382,9 +438,25 @@ class RetinaFace:
         scale = jnp.array([w, h, w, h], jnp.float32)
         sub = jnp.array(self.channels_subtract, jnp.float32)
 
+        use_planar = self.planar_stage1
+        tail_net = self._tail_net
+        sub_tuple = self.channels_subtract
+        net_dtype = self.dtype
+
         def infer(variables, imgs_u8):
-            x = imgs_u8.astype(jnp.float32) - sub
-            loc, conf, landms = net.apply(variables, x, train=False)
+            if use_planar:
+                from ..ops.planar_mnet import planar_stage1
+
+                s1 = planar_stage1(
+                    variables["params"]["body"]["stage1"],
+                    variables["batch_stats"]["body"]["stage1"],
+                    imgs_u8, sub_tuple, dtype=net_dtype,
+                )
+                loc, conf, landms = tail_net.apply(variables, s1,
+                                                   train=False)
+            else:
+                x = imgs_u8.astype(jnp.float32) - sub
+                loc, conf, landms = net.apply(variables, x, train=False)
             score = conf[..., 1]
             valid = score > conf_thres
 

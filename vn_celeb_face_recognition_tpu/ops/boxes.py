@@ -99,8 +99,18 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, offset=0.0, min_mode=False):
     higher = (s[:, None] > s[None, :]) | (
         (s[:, None] == s[None, :]) & (idx[:, None] < idx[None, :])
     )
-    # suppressor matrix: S[j, i] = 1 iff j can suppress i
-    sup = (higher & (iou > iou_thr) & valid[:, None]).astype(jnp.float32)
+    # suppressor matrix: S[j, i] = 1 iff j can suppress i. Stored bf16:
+    # the sweeps re-read S from HBM every round and are bandwidth-bound
+    # at large K (RetinaFace nms_cap=1024 -> 2 MB/image/sweep instead
+    # of 4), and the result is EXACT — 0/1 entries are exactly
+    # representable and the MXU accumulates bf16 products in f32
+    # (preferred_element_type), so the >0 test cannot flip.
+    sup = (higher & (iou > iou_thr) & valid[:, None]).astype(jnp.bfloat16)
+
+    def _sweep(vec):
+        hits = jnp.dot(vec.astype(jnp.bfloat16), sup,
+                       preferred_element_type=jnp.float32)
+        return valid & ~(hits > 0.0)
 
     def cond(state):
         keep, changed, it = state
@@ -112,9 +122,10 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, offset=0.0, min_mode=False):
         # chain-depth sweeps and extra sweeps past the fixpoint are
         # no-ops — doubling up halves the number of sequential
         # convergence-check rounds, which dominate the cost on TPU.
+        # (keep @ S) == (S^T keep) for vectors — no transpose needed.
         keep, _, it = state
-        mid = valid & ~((sup.T @ keep.astype(jnp.float32)) > 0.0)
-        new_keep = valid & ~((sup.T @ mid.astype(jnp.float32)) > 0.0)
+        mid = _sweep(keep)
+        new_keep = _sweep(mid)
         changed = jnp.any(new_keep != mid) | jnp.any(mid != keep)
         return new_keep, changed, it + 1
 
