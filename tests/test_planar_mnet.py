@@ -133,6 +133,26 @@ def test_pallas_stage1_bf16_interpret(stage1_setup):
     assert np.abs(got - ref).max() < 0.05 * np.abs(ref).max()
 
 
+def test_pallas_stage1_multi_band(stage1_setup):
+    """A size whose segment-1 row count exceeds one band (208 px ->
+    104 rows -> 2 bands) exercises the halo/edge-band paths."""
+    from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas import (
+        planar_stage1_pallas,
+    )
+
+    _, variables, _ = stage1_setup
+    gen = np.random.default_rng(5)
+    imgs = gen.integers(0, 255, size=(1, 208, 208, 3), dtype=np.uint8)
+    ref = planar_stage1(variables["params"], variables["batch_stats"],
+                        jnp.asarray(imgs), SUB, dtype=None)
+    out = planar_stage1_pallas(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(imgs), SUB, dtype=None, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_planar_stage1_odd_input_sizes(stage1_setup):
     """Non-multiple-of-16 inputs keep exact conv output-size semantics."""
     mod, variables, _ = stage1_setup

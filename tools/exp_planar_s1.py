@@ -31,6 +31,9 @@ def main():
         _STAGE1_SPECS,
         planar_stage1,
     )
+    from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas import (
+        planar_stage1_pallas,
+    )
 
     iters = int(next((a.split("=")[1] for a in sys.argv
                       if a.startswith("--iters=")), 60))
@@ -64,12 +67,26 @@ def main():
                            dtype=jnp.bfloat16)
         return s1.sum().astype(jnp.float32)
 
+    def pallas(v, frames_u8, i):
+        s1 = planar_stage1_pallas(
+            v["params"], v["batch_stats"], variant(frames_u8, i),
+            (104.0, 117.0, 123.0), dtype=jnp.bfloat16)
+        return s1.sum().astype(jnp.float32)
+
     def noop(frames_u8, i):
         return variant(frames_u8, i)[0, 0, 0, 0].astype(jnp.float32)
 
-    timeit("noop", jax.jit(noop), frames_dev)
-    timeit("planar", jax.jit(planar), variables, frames_dev)
-    timeit("nhwc", jax.jit(nhwc), variables, frames_dev)
+    only = next((a.split("=")[1].split(",") for a in sys.argv
+                 if a.startswith("--stages=")), None)
+    stages = {
+        "noop": (jax.jit(noop), (frames_dev,)),
+        "pallas": (jax.jit(pallas), (variables, frames_dev)),
+        "planar": (jax.jit(planar), (variables, frames_dev)),
+        "nhwc": (jax.jit(nhwc), (variables, frames_dev)),
+    }
+    for name, (fn, fargs) in stages.items():
+        if only is None or name in only:
+            timeit(name, fn, *fargs)
 
 
 if __name__ == "__main__":

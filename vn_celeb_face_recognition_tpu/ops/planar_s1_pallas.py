@@ -1,4 +1,4 @@
-"""Fused Pallas kernel for MobileNetV1-0.25 stage 1 (plane-major).
+"""Fused Pallas kernels for MobileNetV1-0.25 stage 1 (flat-lane).
 
 Why a kernel: the stage's six blocks run at 8-64 channels, where NHWC
 lane-tiles C to 128 (16x padding at C=8) — the flax stage measures
@@ -6,32 +6,36 @@ lane-tiles C to 128 (16x padding at C=8) — the flax stage measures
 plane-major rewrite (ops/planar_mnet.py) fixed the layout but measured
 17.2 ms: XLA materialises each of the nine shifted stencil taps (and
 the 2x2 phase split) as full HBM arrays instead of fusing them
-(tools/exp_planar_parts.py attribution). This kernel runs the WHOLE
-stage for one image per grid step inside VMEM — HBM traffic is one
-read of the space-to-depth input and one write of the s1 output.
+(tools/exp_planar_parts.py attribution). Pallas fuses the whole block
+chain in VMEM, so HBM sees each activation exactly once.
 
-Layout: blocks carry activations as [H, C, W] — C in SUBLANES (8/16/
-32/64 are tile-exact multiples of 8), W in lanes, H untiled. Per block:
+Layout: activations live as [C, N] with C in SUBLANES and the image
+FLATTENED into lanes (N = rows * W). Every op is then Mosaic-native:
 
-  * depthwise 3x3 = 3 leading-dim (H) slices x 3 one-lane rolls with
-    edge masks — pure VPU, zero HBM traffic;
-  * stride-2 rows = leading-dim strided slices (untiled — free);
-    stride-2 cols = one MXU matmul with a 0/1 even-column selection
-    matrix (contraction over lanes — native, and exact);
-  * pointwise 1x1 = dot_general([O, C] @ [H, C, W] over C) — the MXU's
-    native lanes-x-sublanes contraction; the [O, H, W] result returns
-    to [H, O, W] either by a VMEM transpose or (RETILE="matmul") by an
-    exact 0/1 identity matmul, whichever Mosaic schedules better;
-  * BatchNorm (eval) folds to per-channel scale+bias broadcasts, and
-    the first 3x3/stride-2 conv arrives as a space-to-depth 2x2 conv:
-    four [8, 12] tap matrices on the [H/2, 12, W/2] phase tensor, so
-    it needs no stride handling at all.
+  * pointwise 1x1 convs are true 2D MXU matmuls [O, C] @ [C, N];
+  * depthwise 3x3 taps are static lane rolls (pltpu.roll) by
+    dy * W + dx with column-validity masks (a precomputed lane%W
+    vector) — pure VPU, zero HBM traffic;
+  * BatchNorm (eval) folds to [C, 1] scale+bias sublane broadcasts;
+  * stride-2 convs never compact in-kernel: the caller space-to-depth
+    splits the input into 2x2 phase planes ([4C, N/4], plane-major),
+    so each stride-2 tap is a rolled phase plane at the ALREADY
+    compacted resolution — the same mapping as the first conv, whose
+    3x3/s2 becomes four [8, 12] tap matmuls on the 12-plane input.
 
-The weights are derived (host-side, in `fold_stage1_weights`) from the
-ordinary flax/torch checkpoint tree — published checkpoints need no
-re-conversion — and outputs match ops/planar_mnet.planar_stage1 (the
-parity-tested XLA reference, itself pinned to the flax NHWC modules)
-to float-reassociation tolerance.
+The stage runs as THREE kernels split at the stride-2 boundaries
+(blocks 0-1 / 2-3 / 4-5); between them XLA does only reshape/
+transpose/pad glue (no stencil taps — the planar-XLA failure mode).
+Each kernel grids over (image, row-band): bands carry a 3-row halo
+(2 top, 1 bottom) materialised by the caller with zero edge rows, so
+VMEM holds ~1 MB working sets and the only row fix-up is zeroing the
+two phantom edge rows between the segment's two stencils.
+
+The weights are derived from the ordinary flax/torch checkpoint tree
+in `fold_stage1_weights` (traceable — runs under jit on live params),
+so published checkpoints need no re-conversion, and outputs match
+ops/planar_mnet.planar_stage1 (the parity-tested XLA reference, itself
+pinned to the flax NHWC modules) to float-reassociation tolerance.
 """
 
 from functools import partial
@@ -45,181 +49,240 @@ from jax.experimental.pallas import tpu as pltpu
 from .planar_mnet import _STAGE1_SPECS, _fold_bn
 
 _LEAKY = 0.1
-# How [O, H, W] pointwise outputs return to the [H, O, W] block
-# layout: "transpose" = jnp.transpose VMEM copy, "matmul" = exact 0/1
-# identity dot_general (kept as the fallback if Mosaic schedules the
-# retiling transpose poorly).
-RETILE = "transpose"
+# Max output rows per band: bounds per-step VMEM (~(band+3)*W lanes
+# per live array). 80 divides every bench resolution's row counts.
+_MAX_BAND = 96
 
 
 def _leaky(y, dtype):
     return jnp.where(y >= 0, y, y * jnp.asarray(_LEAKY, dtype))
 
 
-def _retile(y, ident, dtype):
-    """[O, H, W] -> [H, O, W]."""
-    if RETILE == "transpose":
-        return jnp.transpose(y, (1, 0, 2))
-    return jax.lax.dot_general(
-        ident, y, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype)
+def _tap(x, dy, dx, wn, colmod, dtype):
+    """t[., w*wn + j] = x[., (w+dy)*wn + (j+dx)], zero where the column
+    j+dx leaves [0, wn). Row wrap-around is the caller's business (the
+    band halo guarantees used rows never read wrapped data)."""
+    n = x.shape[-1]
+    d = dy * wn + dx
+    t = x if d == 0 else pltpu.roll(x, (-d) % n, axis=1)
+    if dx > 0:
+        t = jnp.where(colmod < wn - dx, t, jnp.zeros((), dtype))
+    elif dx < 0:
+        t = jnp.where(colmod >= -dx, t, jnp.zeros((), dtype))
+    return t
 
 
-def _lane_shift(t, shift, col, dtype):
-    """Roll along lanes with zero fill (shift > 0 moves right)."""
-    if shift == 0:
-        return t
-    w = t.shape[-1]
-    t = jnp.roll(t, shift, axis=-1)
-    if shift > 0:
-        return jnp.where(col >= shift, t, jnp.asarray(0.0, dtype))
-    return jnp.where(col < w + shift, t, jnp.asarray(0.0, dtype))
-
-
-def _taps_dw(xp, h_out, stride, kmat, col, dtype):
-    """9-tap depthwise accumulation on the H-padded [Hp, C, W] plane.
-
-    kmat: [C, 9] (tap-minor). Returns [h_out, C, W] (full W; caller
-    compacts columns for stride 2).
-    """
+def _dw_s1(y, kmat, wn, colmod, dtype):
+    """Stride-1 depthwise 3x3 (SAME): nine rolled taps. kmat [C, 9]
+    tap-minor (index (dy+1)*3 + dx+1)."""
     acc = None
-    for dy in range(3):
-        if stride == 1:
-            xr = jax.lax.slice_in_dim(xp, dy, dy + h_out, axis=0)
-        else:
-            xr = jax.lax.slice_in_dim(
-                xp, dy, dy + 2 * (h_out - 1) + 1, stride=2, axis=0)
-        for dx in range(3):
-            t = _lane_shift(xr, 1 - dx, col, dtype)
-            k = jax.lax.slice_in_dim(kmat, dy * 3 + dx,
-                                     dy * 3 + dx + 1, axis=1)  # [C, 1]
-            term = t * k[None, :, :]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t = _tap(y, dy, dx, wn, colmod, dtype)
+            i = (dy + 1) * 3 + dx + 1
+            k = jax.lax.slice_in_dim(kmat, i, i + 1, axis=1)  # [C, 1]
+            term = t * k
             acc = term if acc is None else acc + term
     return acc
 
 
-def _dw_block(x, kmat, m1, a1, pw, m2, a2, stride, sel, ident, col,
-              dtype):
-    """One ConvDW block: dw3x3(s)+BN+leaky then pw1x1+BN+leaky.
-
-    x [H, C, W] -> [H/s, O, W/s]. kmat [C, 9]; m/a [C, 1]; pw [O, C];
-    sel [W, W/2] 0/1 or None; ident [H/s, H/s] 0/1 (matmul retile).
-    """
-    h = x.shape[0]
-    h_out = h if stride == 1 else h // 2
-    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
-    acc = _taps_dw(xp, h_out, stride, kmat, col, dtype)
-    acc = _leaky(acc * m1[None, :, :] + a1[None, :, :], dtype)
-    if sel is not None:
-        acc = jax.lax.dot_general(
-            acc, sel, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype)
-    out = jax.lax.dot_general(
-        pw, acc, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [O, H', W']
-    out = _leaky(out.astype(dtype) * m2[:, :, None]
-                 + a2[:, :, None], dtype)
-    return _retile(out, ident, dtype)
-
-
-def _stage1_kernel(*refs, dtype, n_blocks, aux_shapes):
-    """refs: x, b00, b01, b10, b11, bn0_m, bn0_a,
-    5 x (kmat, m1, a1, pw, m2, a2), *aux (sels + idents), out."""
-    dt = jnp.dtype(dtype)
-    x_ref = refs[0]
-    b0_mats = refs[1:5]
-    bn0m, bn0a = refs[5], refs[6]
-    blk = refs[7:7 + 6 * n_blocks]
-    aux = refs[7 + 6 * n_blocks:-1]
-    out_ref = refs[-1]
-
-    def sel_by_shape(s0):
-        for r, shp in zip(aux, aux_shapes):
-            if shp[0] == s0 and shp[0] != shp[1]:
-                return r[...].astype(dt)
-        raise AssertionError(f"no selection matrix with {s0} rows")
-
-    def ident_for(h_out):
-        if RETILE != "matmul":
-            return None
-        for r, shp in zip(aux, aux_shapes):
-            if shp[0] == h_out and shp[0] == shp[1]:
-                return r[...].astype(dt)
-        raise AssertionError(f"no identity matrix of size {h_out}")
-
-    x = x_ref[...][0]  # [H2, 12, W2] s2d input, mean-subtracted
-    h2, w2 = x.shape[0], x.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w2), 2)
-
-    # --- block 0: the 3x3/s2 conv as a 2x2 conv on the s2d planes ---
-    xp = jnp.pad(x, ((1, 0), (0, 0), (0, 0)))  # ry=1 reads row h'-1
+def _dw_phase(x4, c, kmat, wn, colmod, dtype):
+    """Stride-2 depthwise 3x3 (SAME) on plane-major s2d input
+    [4C, N]: out[u, v] = sum k[dy, dx] * x[2u+dy-1, 2v+dx-1]; padded
+    row 2u+dy-1 lives in phase (dy+1)%2 at index u - (1 iff dy==0)
+    (and likewise for columns), so every tap is one rolled plane."""
     acc = None
-    for bref, (ry, rx) in zip(b0_mats,
-                              ((0, 0), (0, 1), (1, 0), (1, 1))):
-        xr = jax.lax.slice_in_dim(xp, 1 - ry, 1 - ry + h2, axis=0)
-        xr = _lane_shift(xr, rx, col, dt)
-        term = jax.lax.dot_general(
-            bref[...].astype(dt), xr, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [8, H2, W2]
-        acc = term if acc is None else acc + term
-    y = _leaky(acc.astype(dt) * bn0m[...].astype(dt)[:, :, None]
-               + bn0a[...].astype(dt)[:, :, None], dt)
-    y = _retile(y, ident_for(h2), dt)  # [H2, 8, W2]
-
-    strides = [s for kind, cin, cout, s in _STAGE1_SPECS[1:]]
-    for i in range(n_blocks):
-        kmat, m1, a1, pw, m2, a2 = (r[...].astype(dt)
-                                    for r in blk[6 * i:6 * i + 6])
-        stride = strides[i]
-        h_now, w_now = y.shape[0], y.shape[2]
-        sel = sel_by_shape(w_now) if stride == 2 else None
-        colw = col if w_now == w2 else jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, w_now), 2)
-        y = _dw_block(y, kmat, m1, a1, pw, m2, a2, stride, sel,
-                      ident_for(h_now // stride), colw, dt)
-    out_ref[...] = y[None].astype(out_ref.dtype)
-
-
-def fold_stage1_weights(params, stats):
-    """Host-side: checkpoint `body/stage1` subtree -> kernel operands.
-
-    Returns [B00, B01, B10, B11, bn0_mul, bn0_add, then per ConvDW
-    block (kmat [C, 9], m1 [C, 1], a1 [C, 1], pw [O, C], m2 [C, 1],
-    a2 [C, 1])], all float32 (cast to the compute dtype in-kernel).
-    """
-    ops = []
-    k0 = np.asarray(params["0"]["0"]["kernel"], np.float32)  # [3,3,3,8]
-    # s2d channel c' = (py*2 + px)*3 + c ; tap (dy, dx) lives at phase
-    # p = (d+1) % 2 with shift r = 1 iff d == 0 (rows and cols alike).
-    bmats = np.zeros((2, 2, 8, 12), np.float32)
     for dy in range(3):
         py, ry = (dy + 1) % 2, 1 if dy == 0 else 0
         for dx in range(3):
             px, rx = (dx + 1) % 2, 1 if dx == 0 else 0
-            for c in range(3):
-                bmats[ry, rx, :, (py * 2 + px) * 3 + c] += k0[dy, dx, c]
+            p = py * 2 + px
+            plane = jax.lax.slice_in_dim(x4, p * c, (p + 1) * c, axis=0)
+            t = _tap(plane, -ry, -rx, wn, colmod, dtype)
+            k = jax.lax.slice_in_dim(kmat, dy * 3 + dx,
+                                     dy * 3 + dx + 1, axis=1)
+            term = t * k
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def _pw(y, pw, m2, a2, dtype):
+    """1x1 conv + BN + leaky: [O, C] @ [C, N] on the MXU (f32 acc)."""
+    o = jax.lax.dot_general(pw, y, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return _leaky(o.astype(dtype) * m2 + a2, dtype)
+
+
+def _zero_phantom_rows(y, band_id, nb, band, wn, dtype):
+    """Zero the two halo rows that sit OUTSIDE the real image (real
+    rows -1 and H) so the next stencil sees true zero padding — the
+    first stencil wrote post-BN values there (BN(0) != 0)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, y.shape[-1]), 1)
+    top = (band_id == 0) & (p >= wn) & (p < 2 * wn)
+    bot = (band_id == nb - 1) & (p >= (band + 2) * wn)
+    return jnp.where(top | bot, jnp.zeros((), dtype), y)
+
+
+def _emit(y, band, wn, out_ref):
+    """Drop the 2 leading halo rows and the trailing one; write the
+    band's real rows. Roll-then-slice keeps the lane offset at 0."""
+    n = y.shape[-1]
+    yo = pltpu.roll(y, n - 2 * wn, axis=1)
+    out = jax.lax.slice_in_dim(yo, 0, band * wn, axis=1)
+    out_ref[...] = out[None, None].astype(out_ref.dtype)
+
+
+def _seg1_kernel(x_ref, b00, b01, b10, b11, bn0m, bn0a,
+                 k1, m11, a11, pw1, m21, a21, cm_ref, out_ref,
+                 *, dtype, nb, band, wn):
+    """Conv0 (3x3/s2 as four tap matmuls on the 12-plane s2d input)
+    + BN + leaky, then block 1 (dw3x3/s1 + BN + leaky + pw + BN +
+    leaky). Works on one (image, band) per grid step."""
+    dt = jnp.dtype(dtype)
+    x = x_ref[0, 0].astype(dt)          # [12, (band+3)*wn]
+    colmod = cm_ref[...]                # [1, (band+3)*wn] int32
+    acc = None
+    for (ry, rx), bref in zip(((0, 0), (0, 1), (1, 0), (1, 1)),
+                              (b00, b01, b10, b11)):
+        t = _tap(x, -ry, -rx, wn, colmod, dt)
+        term = jax.lax.dot_general(
+            bref[...].astype(dt), t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    y = _leaky(acc.astype(dt) * bn0m[...].astype(dt)
+               + bn0a[...].astype(dt), dt)
+    y = _zero_phantom_rows(y, pl.program_id(1), nb, band, wn, dt)
+    y = _dw_s1(y, k1[...].astype(dt), wn, colmod, dt)
+    y = _leaky(y * m11[...].astype(dt) + a11[...].astype(dt), dt)
+    y = _pw(y, pw1[...].astype(dt), m21[...].astype(dt),
+            a21[...].astype(dt), dt)
+    _emit(y, band, wn, out_ref)
+
+
+def _seg23_kernel(x_ref, ka, m1a, a1a, pwa, m2a, a2a,
+                  kb, m1b, a1b, pwb, m2b, a2b, cm_ref, out_ref,
+                  *, dtype, nb, band, wn, cin):
+    """One stride-2 block (phase-plane dw + BN + leaky + pw + BN +
+    leaky) then one stride-1 block, fused — segments 2 (blocks 2-3)
+    and 3 (blocks 4-5) of the stage."""
+    dt = jnp.dtype(dtype)
+    x4 = x_ref[0, 0].astype(dt)         # [4*cin, (band+3)*wn]
+    colmod = cm_ref[...]
+    y = _dw_phase(x4, cin, ka[...].astype(dt), wn, colmod, dt)
+    y = _leaky(y * m1a[...].astype(dt) + a1a[...].astype(dt), dt)
+    y = _pw(y, pwa[...].astype(dt), m2a[...].astype(dt),
+            a2a[...].astype(dt), dt)
+    y = _zero_phantom_rows(y, pl.program_id(1), nb, band, wn, dt)
+    y = _dw_s1(y, kb[...].astype(dt), wn, colmod, dt)
+    y = _leaky(y * m1b[...].astype(dt) + a1b[...].astype(dt), dt)
+    y = _pw(y, pwb[...].astype(dt), m2b[...].astype(dt),
+            a2b[...].astype(dt), dt)
+    _emit(y, band, wn, out_ref)
+
+
+def fold_stage1_weights(params, stats):
+    """Checkpoint `body/stage1` subtree -> kernel operands.
+
+    Returns [B00, B01, B10, B11, bn0_mul, bn0_add, then per ConvDW
+    block (kmat [C, 9], m1 [C, 1], a1 [C, 1], pw [O, C], m2 [C, 1],
+    a2 [C, 1])], all float32 (cast to the compute dtype in-kernel).
+    Traceable (jnp throughout) so it can run under jit on live params.
+    """
+    ops = []
+    k0 = jnp.asarray(params["0"]["0"]["kernel"],
+                     jnp.float32)  # [3,3,3,8]
+    # s2d channel c' = (py*2 + px)*3 + c ; tap (dy, dx) lives at phase
+    # p = (d+1) % 2 with shift r = 1 iff d == 0 (rows and cols alike).
+    # Each tap lands in a UNIQUE (ry, rx) column, so .set is exact.
+    bmats = jnp.zeros((2, 2, 8, 12), jnp.float32)
+    for dy in range(3):
+        py, ry = (dy + 1) % 2, 1 if dy == 0 else 0
+        for dx in range(3):
+            px, rx = (dx + 1) % 2, 1 if dx == 0 else 0
+            col = (py * 2 + px) * 3
+            bmats = bmats.at[ry, rx, :, col:col + 3].set(
+                k0[dy, dx].T)
     for ry in range(2):
         for rx in range(2):
-            ops.append(jnp.asarray(bmats[ry, rx]))
+            ops.append(bmats[ry, rx])
     mul, add = _fold_bn(params["0"]["1"], stats["0"]["1"])
-    ops += [jnp.asarray(mul)[:, None], jnp.asarray(add)[:, None]]
+    ops += [mul[:, None], add[:, None]]
     for i in range(1, len(_STAGE1_SPECS)):
         p, s = params[str(i)], stats[str(i)]
-        k = np.asarray(p["0"]["kernel"], np.float32)[:, :, 0, :]
+        k = jnp.asarray(p["0"]["kernel"], jnp.float32)[:, :, 0, :]
         kmat = k.reshape(9, -1).T  # [C, 9] tap-minor
         m1, a1 = _fold_bn(p["1"], s["1"])
         pw = jnp.asarray(p["3"]["kernel"])[0, 0].T  # [O, C]
         m2, a2 = _fold_bn(p["4"], s["4"])
-        ops += [jnp.asarray(kmat), jnp.asarray(m1)[:, None],
-                jnp.asarray(a1)[:, None], pw,
-                jnp.asarray(m2)[:, None], jnp.asarray(a2)[:, None]]
+        ops += [kmat, m1[:, None], a1[:, None], pw,
+                m2[:, None], a2[:, None]]
     return ops
 
 
-def _sel_even(n):
-    s = np.zeros((n, n // 2), np.float32)
-    s[np.arange(0, n, 2), np.arange(n // 2)] = 1.0
-    return jnp.asarray(s)
+def _n_bands(h_out):
+    nb = max(1, -(-h_out // _MAX_BAND))
+    while h_out % nb:
+        nb += 1
+    return nb
+
+
+def _bands(x, band):
+    """[B, C, H+3, W] (rows pre-padded: 2 zero top, 1 zero bottom) ->
+    [B, nb, C, (band+3)*W] overlapping band slices (3-row halo)."""
+    b, c, hp, w = x.shape
+    nb = (hp - 3) // band
+    sl = [jax.lax.slice_in_dim(x, i * band, i * band + band + 3,
+                               axis=2) for i in range(nb)]
+    y = jnp.stack(sl, axis=1)
+    return y.reshape(b, nb, c, (band + 3) * w)
+
+
+def _pad_rows(x):
+    return jnp.pad(x, ((0, 0), (0, 0), (2, 1), (0, 0)))
+
+
+def _s2d_planes(y, b, c, h, w):
+    """[B, C, H*W] -> [B, 4C, H/2, W/2], plane-major p*C + c with
+    p = py*2 + px (matches _dw_phase / fold_stage1_weights)."""
+    y = y.reshape(b, c, h // 2, 2, w // 2, 2)
+    y = y.transpose(0, 3, 5, 1, 2, 4)
+    return y.reshape(b, 4 * c, h // 2, w // 2)
+
+
+def _unband(o, b, nb, c, band, w):
+    """[B, nb, C, band*W] -> [B, C, H*W]."""
+    o = o.reshape(b, nb, c, band, w).transpose(0, 2, 1, 3, 4)
+    return o.reshape(b, c, nb * band * w)
+
+
+def _colmod(band, wn):
+    return jnp.asarray(
+        (np.arange((band + 3) * wn, dtype=np.int32) % wn)[None])
+
+
+def _run_segment(kernel, x, weights, cout, band, wn, dtype,
+                 interpret, extra=None):
+    b, nb, cin, n = x.shape
+    cm = _colmod(band, wn)
+    kw = dict(dtype=dtype, nb=nb, band=band, wn=wn)
+    if extra:
+        kw.update(extra)
+    in_specs = [pl.BlockSpec((1, 1, cin, n), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for arr in list(weights) + [cm]:
+        in_specs.append(pl.BlockSpec(
+            arr.shape, partial(lambda i, j, _n=arr.ndim: (0,) * _n),
+            memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        partial(kernel, **kw),
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, cout, band * wn),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nb, cout, band * wn), dtype),
+        interpret=interpret,
+    )(x, *weights, cm)
 
 
 def supports(h, w):
@@ -229,7 +292,7 @@ def supports(h, w):
 
 def planar_stage1_pallas(params, stats, imgs_nhwc, sub, dtype=None,
                          interpret=False):
-    """MobileNetV1-0.25 stage 1 as one fused Pallas program.
+    """MobileNetV1-0.25 stage 1 as three fused Pallas programs.
 
     Same contract as ops/planar_mnet.planar_stage1: the flax
     ``body/stage1`` param and batch_stats subtrees, [B, H, W, 3] uint8
@@ -243,39 +306,36 @@ def planar_stage1_pallas(params, stats, imgs_nhwc, sub, dtype=None,
             f"planar_stage1_pallas needs H, W % 16 == 0, got {(h, w)}")
     h2, w2 = h // 2, w // 2
     # space-to-depth + plane-major in ONE transpose, cast+sub in the
-    # cheap [.., 12, W2] layout (the NHWC [..., 3] cast would lane-pad
+    # cheap 12-plane layout (the NHWC [..., 3] cast would lane-pad
     # 3 -> 128); c' = (py*2 + px)*3 + c
     x = imgs_nhwc.reshape(b, h2, 2, w2, 2, 3)
-    x = x.transpose(0, 1, 2, 4, 5, 3).reshape(b, h2, 12, w2).astype(dt)
-    x = x - jnp.tile(jnp.asarray(sub, dt), 4)[None, None, :, None]
+    x = x.transpose(0, 2, 4, 5, 1, 3).reshape(b, 12, h2, w2).astype(dt)
+    x = x - jnp.tile(jnp.asarray(sub, dt), 4)[:, None, None]
 
     weights = fold_stage1_weights(params, stats)
-    aux = [_sel_even(w2), _sel_even(w2 // 2)]
-    if RETILE == "matmul":
-        for n in {h2, h2 // 2, h2 // 4}:
-            aux.append(jnp.asarray(np.eye(n, dtype=np.float32)))
-    aux_shapes = tuple(a.shape for a in aux)
-    n_blocks = len(_STAGE1_SPECS) - 1
+    w_seg1, w_seg2, w_seg3 = (weights[:12], weights[12:24],
+                              weights[24:36])
 
-    def zero_map(ndim):
-        return lambda i, _n=ndim: (0,) * _n
+    # segment 1: conv0 + block1 at (H/2, W/2)
+    band1 = h2 // _n_bands(h2)
+    y = _run_segment(_seg1_kernel, _bands(_pad_rows(x), band1),
+                     w_seg1, 16, band1, w2, dt, interpret)
+    y = _unband(y, b, h2 // band1, 16, band1, w2)
 
-    in_specs = [pl.BlockSpec((1, h2, 12, w2), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    for arr in weights + aux:
-        in_specs.append(pl.BlockSpec(arr.shape, zero_map(arr.ndim),
-                                     memory_space=pltpu.VMEM))
+    # segment 2: blocks 2-3 at (H/4, W/4)
+    h4, w4 = h2 // 2, w2 // 2
+    band2 = h4 // _n_bands(h4)
+    x2 = _bands(_pad_rows(_s2d_planes(y, b, 16, h2, w2)), band2)
+    y = _run_segment(_seg23_kernel, x2, w_seg2, 32, band2, w4, dt,
+                     interpret, extra={"cin": 16})
+    y = _unband(y, b, h4 // band2, 32, band2, w4)
 
-    ho, wo = h // 8, w // 8
-    kernel = partial(_stage1_kernel, dtype=dt, n_blocks=n_blocks,
-                     aux_shapes=aux_shapes)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ho, 64, wo), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ho, 64, wo), dt),
-        interpret=interpret,
-    )(x, *weights, *aux)
-    return out.transpose(0, 1, 3, 2)  # [B, H/8, W/8, 64] NHWC
+    # segment 3: blocks 4-5 at (H/8, W/8)
+    h8, w8 = h4 // 2, w4 // 2
+    band3 = h8 // _n_bands(h8)
+    x3 = _bands(_pad_rows(_s2d_planes(y, b, 32, h4, w4)), band3)
+    y = _run_segment(_seg23_kernel, x3, w_seg3, 64, band3, w8, dt,
+                     interpret, extra={"cin": 32})
+    y = _unband(y, b, h8 // band3, 64, band3, w8)
+
+    return y.reshape(b, 64, h8, w8).transpose(0, 2, 3, 1)
