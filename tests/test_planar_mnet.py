@@ -153,6 +153,30 @@ def test_pallas_stage1_multi_band(stage1_setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_detector_pallas_stage1_matches_default():
+    """RetinaFace(planar_stage1='pallas') returns the same detections
+    as the NHWC default on the same random variables (the kernel path
+    runs through the interpreter on CPU)."""
+    from vn_celeb_face_recognition_tpu.models.retinaface import (
+        RetinaFace,
+    )
+
+    base = RetinaFace(backbone_cfg="cfg_mnet", nms_cap=64,
+                      vis_thres=0.02)
+    fast = RetinaFace(backbone_cfg="cfg_mnet", nms_cap=64,
+                      vis_thres=0.02, planar_stage1="pallas")
+    fast.variables = base.variables
+    gen = np.random.default_rng(6)
+    img = gen.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    ref_d, ref_s, _ = base.inference([img], landmark=True)
+    got_d, got_s, _ = fast.inference([img], landmark=True)
+    assert len(got_d[0]) == len(ref_d[0]) > 0
+    np.testing.assert_allclose(got_s[0], ref_s[0], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(got_d[0], ref_d[0], rtol=1e-3,
+                               atol=5e-2)
+
+
 def test_planar_stage1_odd_input_sizes(stage1_setup):
     """Non-multiple-of-16 inputs keep exact conv output-size semantics."""
     mod, variables, _ = stage1_setup

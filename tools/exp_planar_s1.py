@@ -73,6 +73,14 @@ def main():
             (104.0, 117.0, 123.0), dtype=jnp.bfloat16)
         return s1.sum().astype(jnp.float32)
 
+    def pallas_upto(upto):
+        def fn(v, frames_u8, i):
+            y = planar_stage1_pallas(
+                v["params"], v["batch_stats"], variant(frames_u8, i),
+                (104.0, 117.0, 123.0), dtype=jnp.bfloat16, _upto=upto)
+            return y.sum().astype(jnp.float32)
+        return fn
+
     def noop(frames_u8, i):
         return variant(frames_u8, i)[0, 0, 0, 0].astype(jnp.float32)
 
@@ -84,6 +92,9 @@ def main():
         "planar": (jax.jit(planar), (variables, frames_dev)),
         "nhwc": (jax.jit(nhwc), (variables, frames_dev)),
     }
+    for upto in ("x1", "k1", "x2", "k2", "x3", "k3"):
+        stages[f"p_{upto}"] = (jax.jit(pallas_upto(upto)),
+                               (variables, frames_dev))
     for name, (fn, fargs) in stages.items():
         if only is None or name in only:
             timeit(name, fn, *fargs)

@@ -379,13 +379,19 @@ class RetinaFace:
             backbone=self.cfg["name"], out_channel=self.cfg["out_channel"],
             phase=phase, dtype=dtype,
         )
-        # plane-major stage 1 (ops/planar_mnet): identical math, fast
-        # layout for the tiny-channel blocks; mobilenet trunk only.
-        # None -> auto (measured default); True/False forces.
+        # plane-major stage 1: identical math, fast layout for the
+        # tiny-channel blocks; mobilenet trunk only. None -> auto
+        # (measured default); True/"pallas" -> the fused Pallas
+        # kernels (ops/planar_s1_pallas); "xla" -> the measured-and-
+        # rejected XLA formulation (ops/planar_mnet, kept for study);
+        # False -> the NHWC flax stage.
         if planar_stage1 is None:
             planar_stage1 = _PLANAR_S1_DEFAULT
-        self.planar_stage1 = bool(planar_stage1) and \
-            self.cfg["name"] == "mobilenet0.25"
+        if planar_stage1 is True:
+            planar_stage1 = "pallas"
+        self.planar_stage1 = planar_stage1 if (
+            planar_stage1 and self.cfg["name"] == "mobilenet0.25"
+        ) else False
         self._tail_net = RetinaFaceNetFromS1(
             out_channel=self.cfg["out_channel"], phase=phase,
             dtype=dtype,
@@ -439,15 +445,27 @@ class RetinaFace:
         sub = jnp.array(self.channels_subtract, jnp.float32)
 
         use_planar = self.planar_stage1
+        if use_planar == "pallas":
+            from ..ops import planar_s1_pallas
+
+            if not planar_s1_pallas.supports(h, w):
+                use_planar = False  # odd size: the flax stage is exact
         tail_net = self._tail_net
         sub_tuple = self.channels_subtract
         net_dtype = self.dtype
 
         def infer(variables, imgs_u8):
             if use_planar:
-                from ..ops.planar_mnet import planar_stage1
+                if use_planar == "pallas":
+                    from ..ops.planar_s1_pallas import (
+                        planar_stage1_pallas as stage1_fn,
+                    )
+                else:
+                    from ..ops.planar_mnet import (
+                        planar_stage1 as stage1_fn,
+                    )
 
-                s1 = planar_stage1(
+                s1 = stage1_fn(
                     variables["params"]["body"]["stage1"],
                     variables["batch_stats"]["body"]["stage1"],
                     imgs_u8, sub_tuple, dtype=net_dtype,

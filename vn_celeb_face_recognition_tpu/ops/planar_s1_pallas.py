@@ -38,6 +38,7 @@ ops/planar_mnet.planar_stage1 (the parity-tested XLA reference, itself
 pinned to the flax NHWC modules) to float-reassociation tolerance.
 """
 
+import math
 from functools import partial
 
 import jax
@@ -106,11 +107,15 @@ def _dw_phase(x4, c, kmat, wn, colmod, dtype):
     return acc
 
 
-def _pw(y, pw, m2, a2, dtype):
-    """1x1 conv + BN + leaky: [O, C] @ [C, N] on the MXU (f32 acc)."""
-    o = jax.lax.dot_general(pw, y, (((1,), (0,)), ((), ())),
+def _pw(y, pw, m2, a2, mxu_dt):
+    """1x1 conv + BN + leaky: [O, C] @ [C, N] on the MXU (operands in
+    the compute dtype, f32 accumulation; BN/leaky stay f32 — Mosaic's
+    lane rotate only handles 32-bit data, so every roll-touching
+    array in these kernels is f32)."""
+    o = jax.lax.dot_general(pw.astype(mxu_dt), y.astype(mxu_dt),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return _leaky(o.astype(dtype) * m2 + a2, dtype)
+    return _leaky(o * m2 + a2, jnp.float32)
 
 
 def _zero_phantom_rows(y, band_id, nb, band, wn, dtype):
@@ -137,25 +142,27 @@ def _seg1_kernel(x_ref, b00, b01, b10, b11, bn0m, bn0a,
                  *, dtype, nb, band, wn):
     """Conv0 (3x3/s2 as four tap matmuls on the 12-plane s2d input)
     + BN + leaky, then block 1 (dw3x3/s1 + BN + leaky + pw + BN +
-    leaky). Works on one (image, band) per grid step."""
-    dt = jnp.dtype(dtype)
-    x = x_ref[0, 0].astype(dt)          # [12, (band+3)*wn]
-    colmod = cm_ref[...]                # [1, (band+3)*wn] int32
+    leaky). Works on one (image, band) per grid step. In-kernel
+    arrays are f32 (rolls need 32-bit lanes); ``dtype`` sets the MXU
+    matmul operand precision and the HBM output dtype."""
+    dt = jnp.float32
+    mxu_dt = jnp.dtype(dtype)
+    x = x_ref[0, 0].astype(dt)          # [12, rows*wn]
+    colmod = cm_ref[...]                # [1, rows*wn] int32
     acc = None
     for (ry, rx), bref in zip(((0, 0), (0, 1), (1, 0), (1, 1)),
                               (b00, b01, b10, b11)):
         t = _tap(x, -ry, -rx, wn, colmod, dt)
         term = jax.lax.dot_general(
-            bref[...].astype(dt), t, (((1,), (0,)), ((), ())),
+            bref[...].astype(mxu_dt), t.astype(mxu_dt),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = term if acc is None else acc + term
-    y = _leaky(acc.astype(dt) * bn0m[...].astype(dt)
-               + bn0a[...].astype(dt), dt)
+    y = _leaky(acc * bn0m[...] + bn0a[...], dt)
     y = _zero_phantom_rows(y, pl.program_id(1), nb, band, wn, dt)
-    y = _dw_s1(y, k1[...].astype(dt), wn, colmod, dt)
-    y = _leaky(y * m11[...].astype(dt) + a11[...].astype(dt), dt)
-    y = _pw(y, pw1[...].astype(dt), m21[...].astype(dt),
-            a21[...].astype(dt), dt)
+    y = _dw_s1(y, k1[...], wn, colmod, dt)
+    y = _leaky(y * m11[...] + a11[...], dt)
+    y = _pw(y, pw1[...], m21[...], a21[...], mxu_dt)
     _emit(y, band, wn, out_ref)
 
 
@@ -164,19 +171,18 @@ def _seg23_kernel(x_ref, ka, m1a, a1a, pwa, m2a, a2a,
                   *, dtype, nb, band, wn, cin):
     """One stride-2 block (phase-plane dw + BN + leaky + pw + BN +
     leaky) then one stride-1 block, fused — segments 2 (blocks 2-3)
-    and 3 (blocks 4-5) of the stage."""
-    dt = jnp.dtype(dtype)
-    x4 = x_ref[0, 0].astype(dt)         # [4*cin, (band+3)*wn]
+    and 3 (blocks 4-5) of the stage. f32 in-kernel (see _seg1)."""
+    dt = jnp.float32
+    mxu_dt = jnp.dtype(dtype)
+    x4 = x_ref[0, 0].astype(dt)         # [4*cin, rows*wn]
     colmod = cm_ref[...]
-    y = _dw_phase(x4, cin, ka[...].astype(dt), wn, colmod, dt)
-    y = _leaky(y * m1a[...].astype(dt) + a1a[...].astype(dt), dt)
-    y = _pw(y, pwa[...].astype(dt), m2a[...].astype(dt),
-            a2a[...].astype(dt), dt)
+    y = _dw_phase(x4, cin, ka[...], wn, colmod, dt)
+    y = _leaky(y * m1a[...] + a1a[...], dt)
+    y = _pw(y, pwa[...], m2a[...], a2a[...], mxu_dt)
     y = _zero_phantom_rows(y, pl.program_id(1), nb, band, wn, dt)
-    y = _dw_s1(y, kb[...].astype(dt), wn, colmod, dt)
-    y = _leaky(y * m1b[...].astype(dt) + a1b[...].astype(dt), dt)
-    y = _pw(y, pwb[...].astype(dt), m2b[...].astype(dt),
-            a2b[...].astype(dt), dt)
+    y = _dw_s1(y, kb[...], wn, colmod, dt)
+    y = _leaky(y * m1b[...] + a1b[...], dt)
+    y = _pw(y, pwb[...], m2b[...], a2b[...], mxu_dt)
     _emit(y, band, wn, out_ref)
 
 
@@ -226,19 +232,26 @@ def _n_bands(h_out):
     return nb
 
 
-def _bands(x, band):
-    """[B, C, H+3, W] (rows pre-padded: 2 zero top, 1 zero bottom) ->
-    [B, nb, C, (band+3)*W] overlapping band slices (3-row halo)."""
-    b, c, hp, w = x.shape
-    nb = (hp - 3) // band
-    sl = [jax.lax.slice_in_dim(x, i * band, i * band + band + 3,
+def _band_rows(band, wn):
+    """Rows per band: the 3-row halo (2 top, 1 bottom), rounded up so
+    the flattened lane count is a multiple of 128 — Mosaic's lane
+    rotates (pltpu.roll) need 128-aligned vectors. The extra rows are
+    zero pad (or unread neighbour rows) past the bottom halo."""
+    align = 128 // math.gcd(wn, 128)
+    return -(-(band + 3) // align) * align
+
+
+def _bands(x, band, rows):
+    """[B, C, H, W] -> [B, nb, C, rows*W] overlapping band slices:
+    2 zero halo rows on top, the rest of the halo + lane-alignment
+    pad below (zero past the image bottom)."""
+    b, c, h, w = x.shape
+    nb = h // band
+    x = jnp.pad(x, ((0, 0), (0, 0), (2, rows - band - 2), (0, 0)))
+    sl = [jax.lax.slice_in_dim(x, i * band, i * band + rows,
                                axis=2) for i in range(nb)]
     y = jnp.stack(sl, axis=1)
-    return y.reshape(b, nb, c, (band + 3) * w)
-
-
-def _pad_rows(x):
-    return jnp.pad(x, ((0, 0), (0, 0), (2, 1), (0, 0)))
+    return y.reshape(b, nb, c, rows * w)
 
 
 def _s2d_planes(y, b, c, h, w):
@@ -255,15 +268,14 @@ def _unband(o, b, nb, c, band, w):
     return o.reshape(b, c, nb * band * w)
 
 
-def _colmod(band, wn):
-    return jnp.asarray(
-        (np.arange((band + 3) * wn, dtype=np.int32) % wn)[None])
+def _colmod(n, wn):
+    return jnp.asarray((np.arange(n, dtype=np.int32) % wn)[None])
 
 
 def _run_segment(kernel, x, weights, cout, band, wn, dtype,
                  interpret, extra=None):
     b, nb, cin, n = x.shape
-    cm = _colmod(band, wn)
+    cm = _colmod(n, wn)
     kw = dict(dtype=dtype, nb=nb, band=band, wn=wn)
     if extra:
         kw.update(extra)
@@ -291,7 +303,7 @@ def supports(h, w):
 
 
 def planar_stage1_pallas(params, stats, imgs_nhwc, sub, dtype=None,
-                         interpret=False):
+                         interpret=False, _upto=None):
     """MobileNetV1-0.25 stage 1 as three fused Pallas programs.
 
     Same contract as ops/planar_mnet.planar_stage1: the flax
@@ -300,6 +312,9 @@ def planar_stage1_pallas(params, stats, imgs_nhwc, sub, dtype=None,
     [B, H/8, W/8, 64] in ``dtype``.
     """
     dt = jnp.dtype(dtype) if dtype is not None else jnp.float32
+    # Mosaic kernels need a TPU; the CPU backend (tests, -dv CPU
+    # demo drives) runs the same programs through the interpreter.
+    interpret = interpret or jax.default_backend() == "cpu"
     b, h, w, _ = imgs_nhwc.shape
     if not supports(h, w):
         raise ValueError(
@@ -318,24 +333,39 @@ def planar_stage1_pallas(params, stats, imgs_nhwc, sub, dtype=None,
 
     # segment 1: conv0 + block1 at (H/2, W/2)
     band1 = h2 // _n_bands(h2)
-    y = _run_segment(_seg1_kernel, _bands(_pad_rows(x), band1),
-                     w_seg1, 16, band1, w2, dt, interpret)
+    x1 = _bands(x.reshape(b, 12, h2, w2), band1, _band_rows(band1, w2))
+    if _upto == "x1":
+        return x1
+    y = _run_segment(_seg1_kernel, x1, w_seg1, 16, band1, w2, dt,
+                     interpret)
+    if _upto == "k1":
+        return y
     y = _unband(y, b, h2 // band1, 16, band1, w2)
 
     # segment 2: blocks 2-3 at (H/4, W/4)
     h4, w4 = h2 // 2, w2 // 2
     band2 = h4 // _n_bands(h4)
-    x2 = _bands(_pad_rows(_s2d_planes(y, b, 16, h2, w2)), band2)
+    x2 = _bands(_s2d_planes(y, b, 16, h2, w2), band2,
+                _band_rows(band2, w4))
+    if _upto == "x2":
+        return x2
     y = _run_segment(_seg23_kernel, x2, w_seg2, 32, band2, w4, dt,
                      interpret, extra={"cin": 16})
+    if _upto == "k2":
+        return y
     y = _unband(y, b, h4 // band2, 32, band2, w4)
 
     # segment 3: blocks 4-5 at (H/8, W/8)
     h8, w8 = h4 // 2, w4 // 2
     band3 = h8 // _n_bands(h8)
-    x3 = _bands(_pad_rows(_s2d_planes(y, b, 32, h4, w4)), band3)
+    x3 = _bands(_s2d_planes(y, b, 32, h4, w4), band3,
+                _band_rows(band3, w8))
+    if _upto == "x3":
+        return x3
     y = _run_segment(_seg23_kernel, x3, w_seg3, 64, band3, w8, dt,
                      interpret, extra={"cin": 32})
+    if _upto == "k3":
+        return y
     y = _unband(y, b, h8 // band3, 64, band3, w8)
 
     return y.reshape(b, 64, h8, w8).transpose(0, 2, 3, 1)
