@@ -189,3 +189,27 @@ def test_planar_stage1_odd_input_sizes(stage1_setup):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_stage1_matches_nhwc(stage1_setup):
+    """Batch-to-lane packed stage 1 == the flax NHWC stage (f32)."""
+    from vn_celeb_face_recognition_tpu.ops.packed_mnet import (
+        packed_stage1, pick_groups,
+    )
+    mod, variables, imgs = stage1_setup
+    # widen the batch so a non-trivial group count is exercised
+    imgs8 = np.concatenate([imgs] * 4, axis=0)  # [8, 64, 64, 3]
+    assert pick_groups(8) == 8
+    x = imgs8.astype(np.float32) - np.asarray(SUB, np.float32)
+    ref = mod.apply(variables, jnp.asarray(x), train=False)
+    out = packed_stage1(variables["params"], variables["batch_stats"],
+                        jnp.asarray(imgs8), SUB, dtype=None)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # a group count that does not divide into the lane target evenly
+    out3 = packed_stage1(variables["params"], variables["batch_stats"],
+                         jnp.asarray(imgs8[:6]), SUB, dtype=None,
+                         groups=3)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref[:6]),
+                               rtol=2e-4, atol=2e-4)

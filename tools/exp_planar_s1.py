@@ -34,6 +34,9 @@ def main():
     from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas import (
         planar_stage1_pallas,
     )
+    from vn_celeb_face_recognition_tpu.ops.packed_mnet import (
+        packed_stage1,
+    )
 
     iters = int(next((a.split("=")[1] for a in sys.argv
                       if a.startswith("--iters=")), 60))
@@ -81,6 +84,12 @@ def main():
             return y.sum().astype(jnp.float32)
         return fn
 
+    def packed(v, frames_u8, i):
+        s1 = packed_stage1(v["params"], v["batch_stats"],
+                           variant(frames_u8, i), (104.0, 117.0, 123.0),
+                           dtype=jnp.bfloat16)
+        return s1.sum().astype(jnp.float32)
+
     def noop(frames_u8, i):
         return variant(frames_u8, i)[0, 0, 0, 0].astype(jnp.float32)
 
@@ -89,6 +98,7 @@ def main():
     stages = {
         "noop": (jax.jit(noop), (frames_dev,)),
         "pallas": (jax.jit(pallas), (variables, frames_dev)),
+        "packed": (jax.jit(packed), (variables, frames_dev)),
         "planar": (jax.jit(planar), (variables, frames_dev)),
         "nhwc": (jax.jit(nhwc), (variables, frames_dev)),
     }
