@@ -78,6 +78,42 @@ def build_arg_parser():
     return p
 
 
+def _reconcile_encoder_args(args, enc_args):
+    """Make the stock flag defaults runnable (fixed reference bug).
+
+    The reference defaults -enc to InceptionResnetV1 but -eargs to
+    cfg/embedding/iresnet100_enc.json (demo_image.py:326-331), so a
+    bare ``python demo_image.py -i img.png`` crashes upstream: the
+    facenet constructor rejects the iresnet-only keys. Instead of
+    crashing, drop the iresnet-only keys for InceptionResnetV1, map a
+    boolean ``pretrained`` onto the -w/--pre_trained_emb dataset name
+    (the flag the reference provides for exactly this choice), and
+    route a non-empty checkpoint_path to weights_path. Explicit
+    coherent -enc/-eargs pairs pass through untouched."""
+    if args.encoder != "InceptionResnetV1":
+        return enc_args
+    out = dict(enc_args)
+    dropped = [k for k in ("progress", "freeze_weights") if k in out]
+    for k in dropped:
+        out.pop(k)
+    ckpt = out.pop("checkpoint_path", "")
+    if ckpt and "weights_path" not in out:
+        out["weights_path"] = ckpt
+    pre = out.get("pretrained")
+    if isinstance(pre, bool):
+        out["pretrained"] = (
+            getattr(args, "pre_trained_emb", "vggface2") if pre else None
+        )
+    if dropped or isinstance(pre, bool):
+        print(
+            "Reconciled encoder args for InceptionResnetV1 "
+            "(reference default -eargs is the iresnet config): "
+            "dropped {}, pretrained -> {}".format(
+                dropped, out.get("pretrained"))
+        )
+    return out
+
+
 def setup_models(args):
     """Shared model wiring used by the image/video/statistic CLIs."""
     import pandas as pd
@@ -87,7 +123,7 @@ def setup_models(args):
     det_args.pop("device", None)
     detection_md = model_md.build_detector(args.detection, **det_args)
 
-    enc_args = read_json(args.encoder_args)
+    enc_args = _reconcile_encoder_args(args, read_json(args.encoder_args))
     emb_model = Encoder.build(args.encoder, **enc_args)
 
     classify_model = Classifier.build(

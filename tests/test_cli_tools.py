@@ -259,3 +259,34 @@ def test_json_dtype_strings_coerce():
     assert det.dtype == jnp.bfloat16
     rf = RetinaFace(dtype="bfloat16")
     assert rf.net.dtype == jnp.bfloat16
+
+
+def test_default_cli_encoder_args_reconcile():
+    """The reference's stock defaults (-enc InceptionResnetV1 with the
+    iresnet -eargs config, demo_image.py:326-331) crash upstream; the
+    CLIs reconcile them instead (fixed reference bug)."""
+    from demo_image import _reconcile_encoder_args, build_arg_parser
+    from vn_celeb_face_recognition_tpu.pipeline.recognition import \
+        Encoder
+    from vn_celeb_face_recognition_tpu.utils import read_json
+
+    args = build_arg_parser().parse_args([])
+    enc_args = read_json(args.encoder_args)
+    assert "freeze_weights" in enc_args  # the incoherent stock pair
+    rec = _reconcile_encoder_args(args, enc_args)
+    assert "freeze_weights" not in rec and "progress" not in rec
+    # boolean pretrained maps onto the -w dataset name
+    assert rec["pretrained"] == args.pre_trained_emb == "vggface2"
+    # the default wiring now constructs (random init: no weights here)
+    model = Encoder.build(args.encoder, **rec)
+    assert model is not None
+
+    # pretrained:false -> None; explicit checkpoint routes to weights
+    rec2 = _reconcile_encoder_args(
+        args, {"pretrained": False, "checkpoint_path": "x.npz"})
+    assert rec2["pretrained"] is None
+    assert rec2["weights_path"] == "x.npz"
+
+    # coherent iresnet pairs pass through untouched
+    args.encoder = "iresnet100"
+    assert _reconcile_encoder_args(args, enc_args) == enc_args
