@@ -140,7 +140,7 @@ if __name__ == "__main__":
     parser.add_argument("-as", "--aligned_size", nargs="+", type=int)
     parser.add_argument("-nf", "--un_face_file", default="unknown.txt",
                         type=str)
-    parser.add_argument("-dv", "--device", default=None, type=str)
+    parser.add_argument("-dv", "-d", "--device", default=None, type=str)
     parser.add_argument("-det", "--detection", default="MTCNN", type=str)
     parser.add_argument("-dargs", "--detection_args",
                         default="cfg/detection/mtcnn.json", type=str)

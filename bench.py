@@ -61,7 +61,10 @@ def build_frames(batch, size, faces_per_frame, face_px=144):
     from PIL import Image
 
     files = []
-    for d in (os.path.join(HERE, "data"), "/root/reference/data"):
+    dirs = [os.path.join(HERE, "data")]
+    if os.environ.get("VN_REFERENCE_DIR"):
+        dirs.append(os.path.join(os.environ["VN_REFERENCE_DIR"], "data"))
+    for d in dirs:
         files = sorted(glob.glob(os.path.join(d, "*.png")))
         if files:
             break

@@ -80,7 +80,7 @@ def parse_args():
     parser.add_argument("-det", "--detection", default="MTCNN")
     parser.add_argument("-dargs", "--detection_args",
                         default="cfg/detection/mtcnn.json")
-    parser.add_argument("-dv", "--device", default=None)
+    parser.add_argument("-dv", "-d", "--device", default=None)
     return parser.parse_args()
 
 

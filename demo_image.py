@@ -44,7 +44,7 @@ def build_arg_parser():
     p.add_argument("-l2n", "--label2name", default="label2name.csv",
                    type=str)
     p.add_argument("-w", "--pre_trained_emb", default="vggface2", type=str)
-    p.add_argument("-dv", "--device", default="TPU", type=str)
+    p.add_argument("-dv", "-d", "--device", default="TPU", type=str)
     p.add_argument("-id", "--input_dim_emb", default=512, type=int)
     p.add_argument("-nc", "--num_classes", default=1001, type=int)
     p.add_argument("-enc", "--encoder", default="InceptionResnetV1",

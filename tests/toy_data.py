@@ -13,9 +13,13 @@ import os
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-TOY_DATA_DIRS = (
-    os.path.join(_REPO_ROOT, "data"),
-    "/root/reference/data",
+# vendored fixture first; an optional reference checkout only via env
+TOY_DATA_DIRS = tuple(
+    p for p in (
+        os.path.join(_REPO_ROOT, "data"),
+        os.path.join(os.environ["VN_REFERENCE_DIR"], "data")
+        if os.environ.get("VN_REFERENCE_DIR") else None,
+    ) if p
 )
 
 

@@ -124,9 +124,15 @@ class ONet(nn.Module):
 # Weight loading
 # ---------------------------------------------------------------------------
 
-_DEFAULT_WEIGHT_SOURCES = (
-    os.path.join(os.path.dirname(__file__), "weights_mtcnn"),
-    "/root/reference/models/weights_mtcnn",
+# vendored npz first; an optional reference checkout (for torch-.pt
+# conversion experiments) only via the VN_REFERENCE_DIR env var
+_DEFAULT_WEIGHT_SOURCES = tuple(
+    p for p in (
+        os.path.join(os.path.dirname(__file__), "weights_mtcnn"),
+        os.path.join(os.environ.get("VN_REFERENCE_DIR", ""),
+                     "models", "weights_mtcnn")
+        if os.environ.get("VN_REFERENCE_DIR") else None,
+    ) if p
 )
 
 
@@ -646,16 +652,23 @@ class MTCNN:
     _SAT_STAGES = ("pnet_cap_per_scale", "cross_cap", "rnet_cap",
                    "onet_cap", "out_cap")
 
-    def warn_capacity_saturation(self, sat_counts):
+    def warn_capacity_saturation(self, sat_counts, hw=None):
         """Warn when any stage's pre-cap valid count reached its
         capacity knob — the top-k cap then silently drops the
         lowest-score candidates. ``sat_counts`` is the cascade's 5th
-        output (per-stage max counts)."""
+        output (per-stage max counts). ``hw`` is the frame (height,
+        width) the counts came from — the caps scale with frame area
+        (capacity_profile), so callers juggling several frame shapes
+        must pass it; without it the caps of the last-BUILT shape are
+        used (wrong when a cached program for another shape ran)."""
         import warnings
 
         counts = np.asarray(sat_counts).reshape(-1)
-        cap_map = getattr(self, "_last_caps", None) or \
-            self.capacity_profile(0, 0)
+        if hw is not None:
+            cap_map = self.capacity_profile(int(hw[0]), int(hw[1]))
+        else:
+            cap_map = getattr(self, "_last_caps", None) or \
+                self.capacity_profile(0, 0)
         caps = tuple(cap_map[name] for name in self._SAT_STAGES)
         saturated = []
         for name, count, cap in zip(self._SAT_STAGES, counts, caps):
@@ -696,7 +709,7 @@ class MTCNN:
         b_boxes, b_score, b_points, b_valid, sat = jax.device_get(
             self._detect_padded(imgs)
         )
-        self.warn_capacity_saturation(sat)
+        self.warn_capacity_saturation(sat, hw=imgs.shape[1:3])
         boxes_out, probs_out, points_out = [], [], []
         for i in range(imgs.shape[0]):
             v = b_valid[i]

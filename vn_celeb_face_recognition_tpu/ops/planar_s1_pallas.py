@@ -51,7 +51,8 @@ from .planar_mnet import _STAGE1_SPECS, _fold_bn
 
 _LEAKY = 0.1
 # Max output rows per band: bounds per-step VMEM (~(band+3)*W lanes
-# per live array). 80 divides every bench resolution's row counts.
+# per live array). _n_bands rounds the band down to a divisor of the
+# row count, so 96 yields e.g. 80-row bands at 320 rows / 96 cap.
 _MAX_BAND = 96
 
 

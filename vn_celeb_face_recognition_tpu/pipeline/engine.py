@@ -41,8 +41,11 @@ class FusedRecognitionEngine:
     """detect+align+embed+classify for fixed-shape frame chunks.
 
     Args:
-      detector: models.MTCNN instance (its cascade fuses into the
-        program).
+      detector: any detector exposing ``_build_detect_fn(batch, h, w)``
+        -> jitted (variables, frames_u8) -> (boxes [B,K,4], scores
+        [B,K], points [B,K,5,2], valid [B,K][, sat_counts]) — both
+        models.MTCNN (cascade) and models.RetinaFace (single-shot)
+        fuse into the program (tests/test_engine.py covers both).
       encoder: (module, variables) embedding net.
       classifier: (module, variables) MLP head.
       target_fs: aligned face size (reference -tg_fs, default 112).
