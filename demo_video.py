@@ -164,6 +164,12 @@ def get_video_fps(video_path):
     return fps
 
 
+def _face_cap_arg(value):
+    """--face_cap: '160' -> 160, '64,128,256' -> [64, 128, 256]."""
+    parts = [int(v) for v in str(value).split(",") if v.strip()]
+    return parts[0] if len(parts) == 1 else parts
+
+
 def build_fused_engine(models, target_fs, emotion_topk=6,
                        face_cap=None, compute_dtype=None):
     """Fused single-program engine over the loaded models (MTCNN
@@ -269,7 +275,11 @@ def process_video(args, models, target_fs, center_point, threshold,
                 if real < args.n_frames:  # pad tail chunk, fixed shape
                     pad = np.repeat(stack[:1], args.n_frames - real, 0)
                     stack = np.concatenate([stack, pad], 0)
-                outputs = engine.process(stack)
+                # adaptive: with face_cap buckets, re-runs the chunk
+                # at the next bucket up if the compaction overflowed
+                # (no face is ever dropped); single/no bucket = plain
+                # process()
+                outputs = engine.process_adaptive(stack)
                 results = engine.identify(outputs, label2name_df,
                                           threshold)[:real]
             bth_names = [r[0] for r in results]
@@ -402,10 +412,13 @@ def build_arg_parser():
                         "the bench's production profile). Detector/"
                         "encoder dtypes come from -dargs/-eargs JSON "
                         "('dtype': 'bfloat16').")
-    p.add_argument("--face_cap", default=None, type=int,
+    p.add_argument("--face_cap", default=None, type=_face_cap_arg,
                    help="global align/embed face budget per chunk for "
-                        "the fused engine (compaction; warns on "
-                        "overflow)")
+                        "the fused engine (compaction). One int, or a "
+                        "comma-separated bucket list ('64,128,256'): "
+                        "the engine speculatively picks the smallest "
+                        "bucket covering the last chunk's face count "
+                        "and re-runs at the next bucket on overflow")
     p.add_argument("-of", "--output_frame", default="output_frame",
                    type=str)
     # rename the image CLI's -i to the video path

@@ -256,6 +256,31 @@ def test_fused_engine_face_cap_compaction(rng):
         tiny_engine.identify(tiny, df, 0.0)
     assert any("face_cap" in str(w.message) for w in caught)
 
+    # ---- bucketed compaction + speculative hint ----------------------
+    # face_hint=1 forces the FIRST chunk onto the too-small bucket (2);
+    # process_adaptive detects the on-device overflow and re-runs the
+    # same chunk at the next bucket up, landing output-identical to the
+    # uncapped engine. identify() then tracks the observed valid count
+    # as the next chunk's hint.
+    bucketed = build([2, 8])
+    bucketed._face_hint = 1
+    first = bucketed.process(frames)
+    assert first["_face_cap_used"] == 2
+    assert int(jax.device_get(first["face_cap_overflow"])) == nvalid - 2
+    adaptive = jax.device_get(bucketed.process_adaptive(frames))
+    assert adaptive["_face_cap_used"] == 8
+    assert int(adaptive["face_cap_overflow"]) == 0
+    np.testing.assert_array_equal(adaptive["pred"][v], full["pred"][v])
+    np.testing.assert_allclose(adaptive["embeddings"][v],
+                               full["embeddings"][v],
+                               rtol=1e-5, atol=1e-5)
+    # identify() keeps the hint tracking the observed count
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bucketed.identify(adaptive, df, 0.0)
+    assert bucketed._face_hint == nvalid
+    assert bucketed._select_cap(4 * 4) == 8
+
 
 def test_fused_engine_sharded_with_face_cap(rng):
     """Compaction's global top-k spans the sharded batch: mesh +

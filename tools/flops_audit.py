@@ -35,10 +35,11 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLE_PATH = os.path.join(REPO_ROOT, "bench_flops.json")
 
 
-def config_key(det, enc, emotion, batch, size, face_cap, num_classes):
+def config_key(det, enc, emotion, batch, size, face_cap, num_classes,
+               target_fs=112):
     return (f"det={det}|enc={enc}|emotion={int(bool(emotion))}"
             f"|batch={batch}|size={size}|face_cap={face_cap}"
-            f"|nc={num_classes}")
+            f"|nc={num_classes}|tfs={target_fs}")
 
 
 def _flops(lowerable, *args, **kwargs):
@@ -140,8 +141,9 @@ def audit(det_kind="mtcnn", enc_kind="facenet", emotion=False,
         )
     if log:
         print("[flops] lowering full engine program ...")
+    cap = face_cap if face_cap < batch * detector.out_cap else None
     total = _flops(
-        engine._build(batch, size, size),
+        engine._build(batch, size, size, cap),
         detector.variables, enc_vars, clf_vars, frames,
     )
     named = sum(stage.values())
@@ -154,7 +156,7 @@ def audit(det_kind="mtcnn", enc_kind="facenet", emotion=False,
         "face_cap": face_cap,
     }
     key_str = config_key(det_kind, enc_kind, emotion, batch, size,
-                         face_cap, num_classes)
+                         face_cap, num_classes, target_fs)
     table = {}
     if os.path.exists(TABLE_PATH):
         with open(TABLE_PATH) as fh:
@@ -189,14 +191,19 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.all_presets:
-        audit("mtcnn", "facenet", False, args.batch, args.size,
-              num_classes=1001)
-        audit("retinaface", "facenet", False, args.batch, args.size,
-              num_classes=1001)
-        audit("mtcnn", "iresnet100", False, args.batch, args.size,
-              num_classes=1001)
-        audit("retinaface", "iresnet100", True, args.batch, args.size,
-              num_classes=1020)
+        # two caps per preset: the steady compaction bucket (= the
+        # bench's pasted-face count) and the legacy safety bucket
+        caps = (args.batch * args.faces_per_frame,
+                args.batch * args.faces_per_frame + args.batch)
+        for cap in caps:
+            audit("mtcnn", "facenet", False, args.batch, args.size,
+                  face_cap=cap, num_classes=1001)
+            audit("retinaface", "facenet", False, args.batch,
+                  args.size, face_cap=cap, num_classes=1001)
+            audit("mtcnn", "iresnet100", False, args.batch, args.size,
+                  face_cap=cap, num_classes=1001)
+            audit("retinaface", "iresnet100", True, args.batch,
+                  args.size, face_cap=cap, num_classes=1020)
         return 0
     audit(args.detector, args.encoder, args.emotion, args.batch,
           args.size, args.faces_per_frame, args.face_cap,

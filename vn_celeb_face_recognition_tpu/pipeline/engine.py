@@ -69,6 +69,20 @@ class FusedRecognitionEngine:
         every padded one), and a ``face_cap_overflow`` count (surfaced
         as a warning in :meth:`identify`) when it doesn't. None = no
         compaction.
+
+        An int is a single fixed budget. A list/tuple of ints enables
+        BUCKETED compaction: each bucket is its own compiled program
+        (the persistent compilation cache amortises this) and
+        :meth:`process` speculatively picks the smallest bucket >= the
+        last observed valid-face count — videos are temporally
+        coherent, so the encoder/emotion stages stop paying FLOPs for
+        face-slot padding (~20% of production-chunk arithmetic at the
+        old fixed 160-slot cap with 128 valid faces). Overflow is
+        counted on device; :meth:`identify` bumps the next chunk's
+        bucket when it fires, and :meth:`process_adaptive` re-runs the
+        SAME chunk at the bigger bucket so no face is ever dropped.
+      face_hint: initial expected valid-face count per chunk (sets the
+        first bucket). None = start at the largest bucket (safe).
     """
 
     def __init__(self, detector, encoder, encoder_variables, classifier,
@@ -76,7 +90,8 @@ class FusedRecognitionEngine:
                  compute_dtype=jnp.float32, face_window=224,
                  use_pallas_warp=None, emotion=None,
                  emotion_variables=None, emotion_size=224,
-                 emotion_topk=6, mesh=None, face_cap=None):
+                 emotion_topk=6, mesh=None, face_cap=None,
+                 face_hint=None):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -104,7 +119,15 @@ class FusedRecognitionEngine:
         self.emotion_size = int(emotion_size)
         self.emotion_topk = int(emotion_topk)
         self.mesh = mesh
-        self.face_cap = None if face_cap is None else int(face_cap)
+        if face_cap is None:
+            self.face_buckets = None
+        elif isinstance(face_cap, (list, tuple)):
+            self.face_buckets = sorted({int(c) for c in face_cap})
+        else:
+            self.face_buckets = [int(face_cap)]
+        # last observed valid-face count (drives speculative bucket
+        # choice); None -> largest bucket until identify() observes one
+        self._face_hint = None if face_hint is None else int(face_hint)
         self._jit_cache = {}
         # keep detector weights resident on device (numpy inputs would
         # re-upload per call); under a mesh every weight tree is
@@ -129,7 +152,27 @@ class FusedRecognitionEngine:
                 self.detector.variables
             )
 
-    def _build(self, batch, h, w):
+    @property
+    def face_cap(self):
+        """Largest configured budget (back-compat summary view)."""
+        return self.face_buckets[-1] if self.face_buckets else None
+
+    def _select_cap(self, total_slots):
+        """Smallest bucket covering the current hint (or the largest
+        bucket when no count has been observed yet), clamped to the
+        chunk's total slot count — buckets >= total_slots are no-ops."""
+        if not self.face_buckets:
+            return None
+        buckets = [min(c, total_slots) for c in self.face_buckets]
+        hint = self._face_hint
+        if hint is not None:
+            for c in sorted(set(buckets)):
+                if c >= hint:
+                    return c if c < total_slots else None
+        c = max(buckets)
+        return c if c < total_slots else None
+
+    def _build(self, batch, h, w, face_cap):
         # the cascade's jitted fn inlines when traced under this jit,
         # so the whole engine compiles to one device program
         raw_detect = self.detector._build_detect_fn(batch, h, w)
@@ -146,8 +189,6 @@ class FusedRecognitionEngine:
         emotion_vars = self.emotion_variables
         emotion_size = self.emotion_size
         emotion_topk = self.emotion_topk
-
-        face_cap = self.face_cap
 
         def run(det_vars, enc_vars, clf_vars, frames_u8):
             det_out = raw_detect(det_vars, frames_u8)
@@ -285,21 +326,52 @@ class FusedRecognitionEngine:
                 frames_u8 = np.concatenate(
                     [frames_u8, np.zeros(pad_shape, frames_u8.dtype)]
                 )
-        key = (bp, h, w)
+        cap = self._select_cap(bp * self.detector.out_cap)
+        key = (bp, h, w, cap)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(bp, h, w)
+            self._jit_cache[key] = self._build(bp, h, w, cap)
         out = self._jit_cache[key](
             self.detector.variables,
             self.encoder_variables,
             self.classifier_variables,
             frames_u8,
         )
+        out = dict(out)
         if bp != b:
             scalar_keys = ("sat_counts", "face_cap_overflow")
             out = {
                 k: (v[:b] if k not in scalar_keys else v)
                 for k, v in out.items()
             }
+        # plain host ints ride along for identify()'s warning paths
+        out["_face_cap_used"] = cap
+        out["_frame_hw"] = (h, w)
+        return out
+
+    def process_adaptive(self, frames_u8, max_retries=None):
+        """process() with a device-side overflow check and re-run at
+        the next bucket up, so no valid face is ever dropped. Costs one
+        scalar fetch per chunk (the callers that use this — the video
+        CLIs — fetch the whole output right after anyway)."""
+        out = self.process(frames_u8)
+        if not self.face_buckets or len(self.face_buckets) < 2:
+            return out
+        retries = (len(self.face_buckets)
+                   if max_retries is None else max_retries)
+        for _ in range(retries):
+            cap = out.get("_face_cap_used")
+            if cap is None or "face_cap_overflow" not in out:
+                return out
+            overflow = int(np.asarray(out["face_cap_overflow"]))
+            if overflow == 0:
+                return out
+            self._face_hint = cap + overflow
+            n_data = (self.mesh.shape["data"]
+                      if self.mesh is not None else 1)
+            bp = -(-frames_u8.shape[0] // n_data) * n_data
+            if self._select_cap(bp * self.detector.out_cap) == cap:
+                return out  # already at the top usable bucket
+            out = self.process(frames_u8)
         return out
 
     def identify(self, outputs, name_df, threshold):
@@ -308,19 +380,33 @@ class FusedRecognitionEngine:
         (reference demo_image.py:113-147). When the emotion head is
         fused, each result tuple extends to (names, boxes,
         emotion_topk_idx, emotion_topk_prob) per kept face."""
+        outputs = dict(outputs)
+        cap_used = outputs.pop("_face_cap_used", None)
+        frame_hw = outputs.pop("_frame_hw", None)
         outs = jax.device_get(outputs)
         if "sat_counts" in outs and hasattr(
             self.detector, "warn_capacity_saturation"
         ):
-            self.detector.warn_capacity_saturation(outs["sat_counts"])
-        if int(outs.get("face_cap_overflow", 0)) > 0:
+            self.detector.warn_capacity_saturation(
+                outs["sat_counts"], hw=frame_hw
+            )
+        overflow = int(outs.get("face_cap_overflow", 0))
+        # speculative bucketing: next chunk's bucket follows this
+        # chunk's observed valid count (overflowed counts include the
+        # dropped faces so the bump lands above the cap)
+        if self.face_buckets:
+            # outs["valid"] is the detector's validity (pre-compaction),
+            # so its sum already counts any dropped faces
+            self._face_hint = int(np.asarray(outs["valid"]).sum())
+        if overflow > 0:
             import warnings
 
             warnings.warn(
-                f"engine face_cap={self.face_cap} overflowed by "
-                f"{int(outs['face_cap_overflow'])} valid faces this "
-                "chunk — lowest-score faces were dropped; raise "
-                "face_cap.",
+                f"engine face_cap={cap_used or self.face_cap} "
+                f"overflowed by {overflow} valid faces this chunk — "
+                "lowest-score faces were dropped; raise face_cap or "
+                "use process_adaptive() for a re-run at the next "
+                "bucket.",
                 stacklevel=2,
             )
         has_emotion = "emotion_idx" in outs
