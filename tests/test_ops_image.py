@@ -43,16 +43,26 @@ def test_pyramid_area_resize_matches_per_level(rng):
 
 
 def test_warp_affine_matches_cv2(rng):
+    # near-exact match INCLUDING the 1-px border fade band (per-tap
+    # BORDER_CONSTANT semantics): the reference par path warps
+    # zero-bordered face crops, so the band is observable downstream
+    # (test_pipeline_differential pins the end-to-end consequence).
     cv2 = pytest.importorskip("cv2")
-    img = rng.uniform(0, 255, size=(64, 80, 3)).astype(np.float32)
-    m = np.array([[0.9, 0.1, 3.0], [-0.1, 0.9, 5.0]], dtype=np.float32)
-    got = np.asarray(I.warp_affine(jnp.asarray(img), jnp.asarray(m),
-                                   (48, 56)))
-    want = cv2.warpAffine(img, m, (56, 48), borderValue=0.0)
-    # interiors match bilinear cv2; allow tolerance at border pixels
-    diff = np.abs(got - want)
-    assert np.median(diff) < 0.5
-    assert (diff < 2.0).mean() > 0.97
+    cases = [
+        ((64, 80, 3), [[0.9, 0.1, 3.0], [-0.1, 0.9, 5.0]], (48, 56)),
+        # upscaled small crop: the demo pipeline's alignment regime
+        ((40, 40, 3), [[3.7, 0.21, -5.0], [-0.21, 3.7, -11.0]],
+         (160, 160)),
+        # mostly out-of-bounds window
+        ((30, 30, 3), [[1.0, 0.0, -25.0], [0.0, 1.0, -25.0]], (40, 40)),
+    ]
+    for shape, m, out_hw in cases:
+        img = rng.uniform(0, 255, size=shape).astype(np.float32)
+        m = np.array(m, dtype=np.float32)
+        got = np.asarray(I.warp_affine(jnp.asarray(img), jnp.asarray(m),
+                                       out_hw))
+        want = cv2.warpAffine(img, m, out_hw[::-1], borderValue=0.0)
+        np.testing.assert_allclose(got, want, atol=0.01)
 
 
 def test_crop_resize_covers_box(rng):

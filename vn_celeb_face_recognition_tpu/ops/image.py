@@ -281,8 +281,17 @@ def invert_affine(m):
 def warp_affine(img, m, out_hw, border_value=0.0):
     """Apply a forward affine map (src->dst, cv2 convention) to
     img [H, W, C] producing [out_h, out_w, C] with bilinear sampling and
-    a constant border (cv2.warpAffine default semantics,
-    align_face.py:55)."""
+    a constant border (cv2.warpAffine BORDER_CONSTANT semantics,
+    align_face.py:55).
+
+    Border handling is per-tap, matching cv2: each of the four bilinear
+    taps falling outside the image contributes ``border_value``, so a
+    sample point within 1 px of the image edge BLENDS toward the border
+    instead of clamping to the edge pixel. The reference's par
+    alignment path warps a zero-bordered face crop
+    (demo_image.py:216-229 crop -> align_face.py:55 warpAffine), so the
+    1-px fade band at crop edges is observable downstream — the
+    full-pipeline differential test pins it."""
     out_h, out_w = out_hw
     inv = invert_affine(m)
     xs = jnp.arange(out_w, dtype=jnp.float32)
@@ -291,12 +300,32 @@ def warp_affine(img, m, out_hw, border_value=0.0):
     src_x = inv[0, 0] * xx + inv[0, 1] * yy + inv[0, 2]
     src_y = inv[1, 0] * xx + inv[1, 1] * yy + inv[1, 2]
     h, w = img.shape[0], img.shape[1]
-    inside = (
-        (src_x >= 0.0) & (src_x <= w - 1.0) & (src_y >= 0.0)
-        & (src_y <= h - 1.0)
-    )
-    vals = _bilinear_gather(img, src_y, src_x, 0.0, h - 1.0, 0.0, w - 1.0)
-    return jnp.where(inside[..., None], vals, border_value)
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    wy = (src_y - y0)[..., None]
+    wx = (src_x - x0)[..., None]
+    # tap validity from the UNCLIPPED float floor (a far-out point must
+    # not borrow a clipped in-range neighbour); clip floats into range
+    # before the int cast so absurd coords can't overflow int32.
+    vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
+    vy1 = (y0 >= -1.0) & (y0 <= h - 2.0)
+    vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
+    vx1 = (x0 >= -1.0) & (x0 <= w - 2.0)
+    y0i = jnp.clip(y0, 0.0, h - 1.0).astype(jnp.int32)
+    x0i = jnp.clip(x0, 0.0, w - 1.0).astype(jnp.int32)
+    y1i = jnp.clip(y0 + 1.0, 0.0, h - 1.0).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1.0, 0.0, w - 1.0).astype(jnp.int32)
+
+    def tap(yi, xi, valid):
+        return jnp.where(valid[..., None], img[yi, xi], border_value)
+
+    v00 = tap(y0i, x0i, vy0 & vx0)
+    v01 = tap(y0i, x1i, vy0 & vx1)
+    v10 = tap(y1i, x0i, vy1 & vx0)
+    v11 = tap(y1i, x1i, vy1 & vx1)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
 
 
 def batched_warp_affine(images, image_idx, mats, out_hw, border_value=0.0):
