@@ -153,6 +153,53 @@ def test_pallas_stage1_multi_band(stage1_setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_v2_stage1_matches_planar(stage1_setup):
+    """The v2 kernels (DMA halo windows + aligned-slice taps,
+    interpret mode on CPU) reproduce the XLA planar path."""
+    from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas_v2 import (
+        planar_stage1_pallas_v2,
+        supports,
+    )
+
+    _, variables, imgs = stage1_setup
+    assert supports(64, 64) and not supports(72, 104)
+    ref = planar_stage1(variables["params"], variables["batch_stats"],
+                        jnp.asarray(imgs), SUB, dtype=None)
+    out = planar_stage1_pallas_v2(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(imgs), SUB, dtype=None, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_v2_stage1_multi_band_bf16(stage1_setup):
+    """Multi-band non-square size exercises the DMA halo windows and
+    edge-band phantom rows; bf16 stays within the family tolerance."""
+    from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas_v2 import (
+        planar_stage1_pallas_v2,
+    )
+
+    _, variables, _ = stage1_setup
+    gen = np.random.default_rng(5)
+    imgs = gen.integers(0, 255, size=(1, 208, 320, 3), dtype=np.uint8)
+    ref = planar_stage1(variables["params"], variables["batch_stats"],
+                        jnp.asarray(imgs), SUB, dtype=None)
+    out = planar_stage1_pallas_v2(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(imgs), SUB, dtype=None, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    bf16 = planar_stage1_pallas_v2(
+        variables["params"], variables["batch_stats"],
+        jnp.asarray(imgs), SUB, dtype=jnp.bfloat16, interpret=True)
+    assert bf16.dtype == jnp.bfloat16
+    got = np.asarray(bf16, np.float32)
+    refn = np.asarray(ref)
+    assert np.abs(got - refn).max() < 0.05 * np.abs(refn).max()
+
+
 def test_detector_pallas_stage1_matches_default():
     """RetinaFace(planar_stage1='pallas') returns the same detections
     as the NHWC default on the same random variables (the kernel path

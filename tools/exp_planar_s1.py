@@ -34,6 +34,9 @@ def main():
     from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas import (
         planar_stage1_pallas,
     )
+    from vn_celeb_face_recognition_tpu.ops.planar_s1_pallas_v2 import (
+        planar_stage1_pallas_v2,
+    )
     from vn_celeb_face_recognition_tpu.ops.packed_mnet import (
         packed_stage1,
     )
@@ -84,6 +87,20 @@ def main():
             return y.sum().astype(jnp.float32)
         return fn
 
+    def pallas2(v, frames_u8, i):
+        s1 = planar_stage1_pallas_v2(
+            v["params"], v["batch_stats"], variant(frames_u8, i),
+            (104.0, 117.0, 123.0), dtype=jnp.bfloat16)
+        return s1.sum().astype(jnp.float32)
+
+    def pallas2_upto(upto):
+        def fn(v, frames_u8, i):
+            y = planar_stage1_pallas_v2(
+                v["params"], v["batch_stats"], variant(frames_u8, i),
+                (104.0, 117.0, 123.0), dtype=jnp.bfloat16, _upto=upto)
+            return y.sum().astype(jnp.float32)
+        return fn
+
     def packed(v, frames_u8, i):
         s1 = packed_stage1(v["params"], v["batch_stats"],
                            variant(frames_u8, i), (104.0, 117.0, 123.0),
@@ -102,8 +119,11 @@ def main():
         "planar": (jax.jit(planar), (variables, frames_dev)),
         "nhwc": (jax.jit(nhwc), (variables, frames_dev)),
     }
+    stages["pallas2"] = (jax.jit(pallas2), (variables, frames_dev))
     for upto in ("x1", "k1", "x2", "k2", "x3", "k3"):
         stages[f"p_{upto}"] = (jax.jit(pallas_upto(upto)),
+                               (variables, frames_dev))
+        stages[f"v_{upto}"] = (jax.jit(pallas2_upto(upto)),
                                (variables, frames_dev))
     for name, (fn, fargs) in stages.items():
         if only is None or name in only:
