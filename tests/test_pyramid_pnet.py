@@ -1,0 +1,107 @@
+"""Parity for the fused pyramid+PNet Pallas path (interpret mode).
+
+Oracle: the cascade's existing stage-1 building blocks —
+``pyramid_area_resize`` + ``_normalize`` + ``_fused_pnet_apply`` —
+which are themselves pinned against the reference's detect_face.py
+PNet loop by tests/test_mtcnn.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vn_celeb_face_recognition_tpu.models.mtcnn import (
+    MTCNN,
+    _fused_pnet_apply,
+    _normalize,
+    _space_to_depth2,
+)
+from vn_celeb_face_recognition_tpu.ops.image import pyramid_area_resize
+from vn_celeb_face_recognition_tpu.ops.pyramid_pnet_pallas import (
+    _levels,
+    phase_pyramid,
+    pyramid_pnet,
+)
+
+H, W = 159, 214  # odd/even mix so both phase paddings are exercised
+SIZES = [(96, 129), (53, 71), (29, 39), (16, 21)]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    det = MTCNN(weights_dir=None)  # random-init PNet weights are fine
+    gen = np.random.default_rng(3)
+    imgs = gen.uniform(0, 255, (2, H, W, 3)).astype(np.float32)
+    return det.variables["pnet"], jnp.asarray(imgs)
+
+
+def test_phase_pyramid_matches_s2d(setup):
+    """The phase-split resize equals resize -> normalize -> zero-pad
+    -> space-to-depth, level by level, plane by plane."""
+    _, imgs = setup
+    feed = np.asarray(phase_pyramid(imgs, SIZES, jnp.float32))
+    pyr = pyramid_area_resize(imgs, SIZES)
+    off = 0
+    for (oh, ow), lvl, l in zip(SIZES, pyr, _levels(SIZES)):
+        x = _normalize(lvl)
+        he, we = 2 * l.oh2, 2 * l.ow2
+        x = jnp.pad(x, ((0, 0), (0, he - oh), (0, we - ow), (0, 0)))
+        ref = np.asarray(_space_to_depth2(x))  # [B, oh2, ow2, 12]
+        got = feed[:, :, off * 128:(off + l.oh2) * 128].reshape(
+            2, 12, l.oh2, 128)
+        np.testing.assert_allclose(
+            got[:, :, :, :l.ow2],
+            np.transpose(ref, (0, 3, 1, 2)), rtol=1e-5, atol=1e-5)
+        assert np.all(got[:, :, :, l.ow2:] == 0.0)
+        off += l.oh2
+
+
+def test_pyramid_pnet_matches_fused_apply(setup):
+    """Full fused path (f32, interpret) == per-level _fused_pnet_apply
+    probs/reg maps."""
+    pvars, imgs = setup
+    results = pyramid_pnet(pvars, imgs, SIZES, dtype=jnp.float32,
+                           interpret=True)
+    pyr = pyramid_area_resize(imgs, SIZES)
+    for lvl, (probs1, reg) in zip(pyr, results):
+        ref_reg, ref_probs = _fused_pnet_apply(
+            pvars, _normalize(lvl), jnp.float32)
+        np.testing.assert_allclose(np.asarray(probs1),
+                                   np.asarray(ref_probs[..., 1]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(reg),
+                                   np.asarray(ref_reg),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pyramid_pnet_bf16_close(setup):
+    """bf16 feed + bf16 MXU operands stay within the family tolerance
+    of the f32 maps (scores are post-sigmoid, so absolute)."""
+    pvars, imgs = setup
+    f32 = pyramid_pnet(pvars, imgs, SIZES, dtype=jnp.float32,
+                       interpret=True)
+    bf16 = pyramid_pnet(pvars, imgs, SIZES, dtype=jnp.bfloat16,
+                        interpret=True)
+    for (p32, r32), (p16, r16) in zip(f32, bf16):
+        assert np.abs(np.asarray(p16) - np.asarray(p32)).max() < 0.05
+        scale = np.abs(np.asarray(r32)).max() + 1e-3
+        assert np.abs(np.asarray(r16) - np.asarray(r32)).max() \
+            < 0.08 * scale
+
+
+def test_detector_fused_pyramid_pnet_matches_default():
+    """MTCNN(fused_pyramid_pnet=True) returns the same detections as
+    the default stage-1 path on a synthetic face-bearing frame."""
+    gen = np.random.default_rng(7)
+    img = gen.uniform(0, 255, (250, 310, 3)).astype(np.float32)
+    # paste a bright blob so at least the box chain has work
+    img[60:180, 90:210] = np.linspace(40, 215, 120)[:, None, None]
+    kw = dict(min_face_size=40, keep_all=True, out_cap=16)
+    base = MTCNN(**kw)
+    fused = MTCNN(fused_pyramid_pnet=True, **kw)
+    b1, p1 = base.detect(img)
+    b2, p2 = fused.detect(img)
+    np.testing.assert_allclose(
+        np.asarray(b1, np.float32), np.asarray(b2, np.float32),
+        rtol=1e-3, atol=1e-2)

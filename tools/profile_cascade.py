@@ -111,7 +111,9 @@ def main():
         imgs = variant(frames_u8, i).astype(jnp.bfloat16)
         acc = jnp.zeros((), jnp.float32)
         for im in pyramid_area_resize(imgs, sizes):
-            acc = acc + im[0, 0, 0, 0].astype(jnp.float32)
+            # sum the WHOLE level: reducing a corner pixel lets XLA
+            # dead-code-eliminate the resize (measured ~0 ms net)
+            acc = acc + im.sum().astype(jnp.float32)
         return acc
 
     def stage_pnet(variables, frames_u8, i):
@@ -126,10 +128,30 @@ def main():
                 + reg.sum().astype(jnp.float32)
         return acc
 
+    def stage_pypn(variables, frames_u8, i):
+        from vn_celeb_face_recognition_tpu.ops.pyramid_pnet_pallas \
+            import pyramid_pnet
+        imgs = variant(frames_u8, i).astype(jnp.float32)
+        acc = jnp.zeros((), jnp.float32)
+        for probs1, reg in pyramid_pnet(variables["pnet"], imgs,
+                                        sizes, jnp.bfloat16):
+            acc = acc + probs1.sum() + reg.sum()
+        return acc
+
     raw_detect = detector._build_detect_fn(batch, size, size)
 
     def stage_cascade(variables, frames_u8, i):
         out = raw_detect(variables, variant(frames_u8, i))
+        return out[0].sum() + out[1].sum()
+
+    fused_det = MTCNN(min_face_size=50, keep_all=True,
+                      pnet_cap_per_scale=128, cross_cap=256,
+                      rnet_cap=64, onet_cap=32, out_cap=8,
+                      dtype=jnp.bfloat16, fused_pyramid_pnet=True)
+    raw_detect_fused = fused_det._build_detect_fn(batch, size, size)
+
+    def stage_cascade_fused(variables, frames_u8, i):
+        out = raw_detect_fused(variables, variant(frames_u8, i))
         return out[0].sum() + out[1].sum()
 
     def stage_engine(frames_u8, i):
@@ -264,6 +286,11 @@ def main():
             "pnet", jax.jit(stage_pnet), det_vars, frames_dev),
         "cascade": lambda i=0: timeit(
             "cascade", jax.jit(stage_cascade), det_vars, frames_dev),
+        "pypn": lambda i=0: timeit(
+            "pypn", jax.jit(stage_pypn), det_vars, frames_dev),
+        "cascade_fused": lambda i=0: timeit(
+            "cascade_fused", jax.jit(stage_cascade_fused), det_vars,
+            frames_dev),
         "warp": lambda i=0: timeit(
             "warp", jax.jit(stage_warp), frames_dev,
             jnp.asarray(lms), jnp.asarray(image_idx)),

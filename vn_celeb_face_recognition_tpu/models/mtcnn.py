@@ -338,6 +338,7 @@ class MTCNN:
         dtype=jnp.float32,
         fast_pnet=True,
         pallas_crops=None,
+        fused_pyramid_pnet=None,
     ):
         self.image_size = image_size
         self.margin = margin
@@ -375,6 +376,18 @@ class MTCNN:
         # intermediate's HBM traffic with neighbouring work. Kept as
         # an opt-in backend for standalone crop workloads.
         self.pallas_crops = bool(pallas_crops)
+        # stage 1 as phase-split resize GEMMs + ONE Pallas kernel for
+        # every level's full PNet conv chain (ops/pyramid_pnet_pallas;
+        # measured 2.29 ms -> ~0 ms net on the 32x640x640 bench
+        # shapes). None = auto: on for TPU, off elsewhere — the CPU
+        # backend would run the kernel through the (slow) interpreter,
+        # and parity with the default path is pinned by
+        # tests/test_pyramid_pnet.py anyway.
+        if fused_pyramid_pnet is None:
+            # mirrors the kernels' interpret gate: any non-CPU backend
+            # (tpu, or this rig's "axon" relay) runs Mosaic natively
+            fused_pyramid_pnet = jax.default_backend() != "cpu"
+        self.fused_pyramid_pnet = bool(fused_pyramid_pnet)
 
         self.pnet = PNet()
         self.rnet = RNet()
@@ -482,24 +495,35 @@ class MTCNN:
             level_sizes = [
                 (int(h * s + 1), int(w * s + 1)) for s in scales
             ]
-            pyramid = pyramid_area_resize(
-                imgs.astype(cdtype), level_sizes
-            )
-            for scale, im in zip(scales, pyramid):
-                if self.fast_pnet:
+            if self.fused_pyramid_pnet:
+                from ..ops.pyramid_pnet_pallas import pyramid_pnet
+                level_maps = pyramid_pnet(
+                    variables["pnet"], imgs, level_sizes, dtype=cdtype
+                )
+            else:
+                pyramid = pyramid_area_resize(
+                    imgs.astype(cdtype), level_sizes
+                )
+                level_maps = None
+            for li, scale in enumerate(scales):
+                if level_maps is not None:
+                    probs1, reg = level_maps[li]
+                elif self.fast_pnet:
                     reg, probs = _fused_pnet_apply(
                         variables["pnet"],
-                        _normalize(im).astype(cdtype), cdtype,
+                        _normalize(pyramid[li]).astype(cdtype), cdtype,
                     )
                     reg = reg.astype(jnp.float32)
-                    probs = probs.astype(jnp.float32)
+                    probs1 = probs[..., 1].astype(jnp.float32)
                 else:
                     reg, probs = net_apply(
-                        pnet, variables["pnet"], _normalize(im)
+                        pnet, variables["pnet"],
+                        _normalize(pyramid[li])
                     )
+                    probs1 = probs[..., 1]
                 hc, wc = reg.shape[1], reg.shape[2]
                 boxes, score, reg, valid = _stage1_boxes(
-                    probs[..., 1], reg, scale, hc, wc, thr[0]
+                    probs1, reg, scale, hc, wc, thr[0]
                 )
                 if valid.shape[-1] >= k1:
                     sat_s1 = jnp.maximum(
