@@ -154,6 +154,14 @@ def main():
         out = raw_detect_fused(variables, variant(frames_u8, i))
         return out[0].sum() + out[1].sum()
 
+    def make_upto(upto):
+        raw = fused_det._build_detect_fn(batch, size, size, _upto=upto)
+
+        def fn(variables, frames_u8, i):
+            out = raw(variables, variant(frames_u8, i))
+            return out[0].sum() + out[1].sum()
+        return fn
+
     def stage_engine(frames_u8, i):
         out = engine.process(variant(frames_u8, i))
         return out["scores"]
@@ -291,6 +299,10 @@ def main():
         "cascade_fused": lambda i=0: timeit(
             "cascade_fused", jax.jit(stage_cascade_fused), det_vars,
             frames_dev),
+        "c_s1": lambda i=0: timeit(
+            "c_s1", jax.jit(make_upto("s1")), det_vars, frames_dev),
+        "c_s2": lambda i=0: timeit(
+            "c_s2", jax.jit(make_upto("s2")), det_vars, frames_dev),
         "warp": lambda i=0: timeit(
             "warp", jax.jit(stage_warp), frames_dev,
             jnp.asarray(lms), jnp.asarray(image_idx)),

@@ -453,7 +453,12 @@ class MTCNN:
 
     # -- the jitted cascade --------------------------------------------
 
-    def _build_detect_fn(self, batch, h, w):
+    def _build_detect_fn(self, batch, h, w, _upto=None):
+        # _upto: profiling checkpoints — "s1" returns after the
+        # stage-1 box chain (pre-crops), "s2" after RNet + its NMS/
+        # bbreg/cap. tools/profile_cascade.py uses these to attribute
+        # the cascade's per-stage cost; None (production) is the full
+        # cascade.
         scales = self._scales(h, w)
         thr = self.thresholds
         caps = self.capacity_profile(h, w)
@@ -598,6 +603,8 @@ class MTCNN:
                                                       valid)
             boxes = _stage1_bbreg(boxes, reg)
             boxes = B.rerec(boxes)
+            if _upto == "s1":
+                return boxes, score, valid
 
             # ---- stage 2: batched 24x24 crops + RNet ----
             # crop coords are clamped ints (the reference's pad()), but
@@ -622,6 +629,8 @@ class MTCNN:
                 return bx[idx], sc[idx], still
 
             boxes, score, valid = jax.vmap(cap3)(boxes, r_score, valid)
+            if _upto == "s2":
+                return boxes, score, valid
 
             # ---- stage 3: batched 48x48 crops + ONet ----
             crop_boxes = B.clamp_boxes(boxes, w, h)
