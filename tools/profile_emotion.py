@@ -23,6 +23,14 @@ TFLOP/s, MFU, the bf16 activation+weight HBM bytes, achieved GB/s,
 and the roofline ms = max(flop-bound, bandwidth-bound) so each
 segment shows WHICH wall it sits against.
 
+CAVEAT (established by tools/exp_mxu_rates.py): on this relay the
+~1 ms/call host dispatch OVERLAPS device execution, so wall/iter =
+max(dispatch, execute). The net_ms column's `total - noop`
+subtraction therefore OVER-corrects and can show impossible >peak
+rates for stages near the floor; read the raw ms column
+(unsubtracted) as the device execute time once a stage is above the
+noop floor.
+
 Usage: python tools/profile_emotion.py [--iters=60] [--cap=128]
        [--stages=a,b,...]
 """
