@@ -339,6 +339,7 @@ class MTCNN:
         fast_pnet=True,
         pallas_crops=None,
         fused_pyramid_pnet=None,
+        fused_crop_nets=None,
     ):
         self.image_size = image_size
         self.margin = margin
@@ -388,6 +389,17 @@ class MTCNN:
             # (tpu, or this rig's "axon" relay) runs Mosaic natively
             fused_pyramid_pnet = jax.default_backend() != "cpu"
         self.fused_pyramid_pnet = bool(fused_pyramid_pnet)
+        # RNet/ONet trunks as fused conv+pool GEMM Pallas kernels
+        # (ops/crops_net_pallas). Default OFF — measured and REJECTED
+        # on the v5e: the bench cascade regressed 5.96 -> 9.0-9.7 ms
+        # (both an unrolled-chunk and a fori-loop variant). The
+        # subposition-GEMM formulation that won for PNet loses here:
+        # these nets are VPU-bound, and materialising 9 subposition
+        # maps moves ~2x more data than XLA's plain conv+pool while
+        # there is no resolution level or per-level dispatch to
+        # eliminate. Kept parity-tested as the pattern's measured
+        # negative boundary (tests/test_crops_net_pallas.py).
+        self.fused_crop_nets = bool(fused_crop_nets)
 
         self.pnet = PNet()
         self.rnet = RNet()
@@ -613,8 +625,15 @@ class MTCNN:
             crop_boxes = B.clamp_boxes(boxes, w, h)
             crops = crop_fn(imgs, crop_boxes, 24)
             crops = crops.reshape(batch * k2, 24, 24, 3)
-            r_reg, r_prob = net_apply(rnet, variables["rnet"],
-                                      _normalize(crops))
+            if self.fused_crop_nets:
+                from ..ops.crops_net_pallas import rnet_apply_fused
+                r_reg, r_prob = rnet_apply_fused(
+                    variables["rnet"], _normalize(crops), cdtype)
+                r_reg = r_reg.astype(jnp.float32)
+                r_prob = r_prob.astype(jnp.float32)
+            else:
+                r_reg, r_prob = net_apply(rnet, variables["rnet"],
+                                          _normalize(crops))
             r_score = r_prob[:, 1].reshape(batch, k2)
             r_reg = r_reg.reshape(batch, k2, 4)
             valid = valid & (r_score > thr[1])
@@ -636,9 +655,17 @@ class MTCNN:
             crop_boxes = B.clamp_boxes(boxes, w, h)
             crops = crop_fn(imgs, crop_boxes, 48)
             crops = crops.reshape(batch * k3, 48, 48, 3)
-            o_reg, o_landm, o_prob = net_apply(
-                onet, variables["onet"], _normalize(crops)
-            )
+            if self.fused_crop_nets:
+                from ..ops.crops_net_pallas import onet_apply_fused
+                o_reg, o_landm, o_prob = onet_apply_fused(
+                    variables["onet"], _normalize(crops), cdtype)
+                o_reg = o_reg.astype(jnp.float32)
+                o_landm = o_landm.astype(jnp.float32)
+                o_prob = o_prob.astype(jnp.float32)
+            else:
+                o_reg, o_landm, o_prob = net_apply(
+                    onet, variables["onet"], _normalize(crops)
+                )
             o_score = o_prob[:, 1].reshape(batch, k3)
             o_reg = o_reg.reshape(batch, k3, 4)
             o_landm = o_landm.reshape(batch, k3, 10)
