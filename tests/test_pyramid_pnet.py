@@ -90,6 +90,32 @@ def test_pyramid_pnet_bf16_close(setup):
             < 0.08 * scale
 
 
+def test_supports_gate_wide_levels():
+    """Levels wider than one-row-per-128-lanes are rejected — the
+    stock min_face_size=20 on 640px frames must fall back to the XLA
+    path instead of crashing at kernel build (ow2=193 > 128)."""
+    from vn_celeb_face_recognition_tpu.ops.pyramid_pnet_pallas import (
+        supports,
+    )
+
+    det20 = MTCNN(min_face_size=20)
+    sizes = [(int(640 * s + 1), int(640 * s + 1))
+             for s in det20._scales(640, 640)]
+    assert not supports(sizes)
+    det50 = MTCNN(min_face_size=50)
+    sizes50 = [(int(640 * s + 1), int(640 * s + 1))
+               for s in det50._scales(640, 640)]
+    assert supports(sizes50)
+    # fused flag + unsupported shape: detect must run (fallback path)
+    gen = np.random.default_rng(9)
+    img = gen.uniform(0, 255, (256, 258, 3)).astype(np.float32)
+    det = MTCNN(min_face_size=12, fused_pyramid_pnet=True, out_cap=8)
+    szs = [(int(256 * s + 1), int(258 * s + 1))
+           for s in det._scales(256, 258)]
+    assert not supports(szs)
+    det.detect(img)  # must not raise
+
+
 def test_detector_fused_pyramid_pnet_matches_default():
     """MTCNN(fused_pyramid_pnet=True) returns the same detections as
     the default stage-1 path on a synthetic face-bearing frame."""

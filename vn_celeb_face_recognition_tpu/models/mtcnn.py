@@ -512,8 +512,12 @@ class MTCNN:
             level_sizes = [
                 (int(h * s + 1), int(w * s + 1)) for s in scales
             ]
-            if self.fused_pyramid_pnet:
-                from ..ops.pyramid_pnet_pallas import pyramid_pnet
+            from ..ops.pyramid_pnet_pallas import pyramid_pnet
+            from ..ops.pyramid_pnet_pallas import supports as _pp_ok
+            # per-shape gate: levels wider than the kernel's one-row-
+            # per-128-lane layout (big frames with small
+            # min_face_size) fall back to the per-level XLA path
+            if self.fused_pyramid_pnet and _pp_ok(level_sizes):
                 level_maps = pyramid_pnet(
                     variables["pnet"], imgs, level_sizes, dtype=cdtype
                 )

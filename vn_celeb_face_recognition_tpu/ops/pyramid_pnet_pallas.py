@@ -88,6 +88,19 @@ def _levels(sizes):
     return [_Level(oh, ow) for oh, ow in sizes]
 
 
+def supports(sizes):
+    """The flat-lane kernel keeps one s2d row per 128-lane tile, so
+    every level's s2d width must fit: ceil(ow/2) + 1 tap <= 128.
+    Big frames with small min_face_size (e.g. 640px at the stock
+    min_face_size=20 -> first level 385 px wide) exceed this; callers
+    fall back to the per-level XLA path there."""
+    try:
+        lv = _levels(sizes)
+    except ValueError:  # a level too small for PNet
+        return False
+    return all(l.ow2 <= _LANES for l in lv)
+
+
 # ---------------------------------------------------------------------------
 # Phase-split pyramid (XLA)
 # ---------------------------------------------------------------------------
