@@ -106,14 +106,22 @@ def test_supports_gate_wide_levels():
     sizes50 = [(int(640 * s + 1), int(640 * s + 1))
                for s in det50._scales(640, 640)]
     assert supports(sizes50)
-    # fused flag + unsupported shape: detect must run (fallback path)
+    # fused flag + a too-wide FIRST level: the hybrid split must run
+    # the wide level through XLA and the narrow tail through the
+    # kernel, matching the default path's detections
     gen = np.random.default_rng(9)
     img = gen.uniform(0, 255, (256, 258, 3)).astype(np.float32)
-    det = MTCNN(min_face_size=12, fused_pyramid_pnet=True, out_cap=8)
+    img[60:170, 80:200] = np.linspace(45, 210, 110)[:, None, None]
+    kw = dict(min_face_size=12, out_cap=8, keep_all=True)
+    det = MTCNN(fused_pyramid_pnet=True, **kw)
     szs = [(int(256 * s + 1), int(258 * s + 1))
            for s in det._scales(256, 258)]
-    assert not supports(szs)
-    det.detect(img)  # must not raise
+    assert not supports(szs[:1]) and supports(szs[1:2])
+    b_hyb, _ = det.detect(img)
+    b_def, _ = MTCNN(**kw).detect(img)
+    np.testing.assert_allclose(
+        np.asarray(b_hyb, np.float32), np.asarray(b_def, np.float32),
+        rtol=1e-3, atol=1e-2)
 
 
 def test_detector_fused_pyramid_pnet_matches_default():

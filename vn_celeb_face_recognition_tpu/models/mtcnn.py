@@ -512,22 +512,36 @@ class MTCNN:
             level_sizes = [
                 (int(h * s + 1), int(w * s + 1)) for s in scales
             ]
-            from ..ops.pyramid_pnet_pallas import pyramid_pnet
-            from ..ops.pyramid_pnet_pallas import supports as _pp_ok
-            # per-shape gate: levels wider than the kernel's one-row-
-            # per-128-lane layout (big frames with small
-            # min_face_size) fall back to the per-level XLA path
-            if self.fused_pyramid_pnet and _pp_ok(level_sizes):
-                level_maps = pyramid_pnet(
-                    variables["pnet"], imgs, level_sizes, dtype=cdtype
+            # hybrid per-level split: levels wider than the fused
+            # kernel's one-row-per-128-lane layout (big frames with
+            # small min_face_size) run through the per-level XLA path
+            # — where XLA's big convs are efficient anyway — while
+            # the tail of small levels (where per-level dispatch and
+            # lane padding dominated) goes through the ONE fused
+            # kernel. supports() decides per level.
+            level_maps = {}
+            if self.fused_pyramid_pnet:
+                from ..ops.pyramid_pnet_pallas import (
+                    pyramid_pnet,
+                    supports as _pp_ok,
                 )
-            else:
-                pyramid = pyramid_area_resize(
-                    imgs.astype(cdtype), level_sizes
+                narrow = [i for i in range(len(scales))
+                          if _pp_ok(level_sizes[i:i + 1])]
+                if narrow:
+                    maps = pyramid_pnet(
+                        variables["pnet"], imgs,
+                        [level_sizes[i] for i in narrow], dtype=cdtype
+                    )
+                    level_maps = dict(zip(narrow, maps))
+            wide = [i for i in range(len(scales)) if i not in level_maps]
+            if wide:
+                pyr_wide = pyramid_area_resize(
+                    imgs.astype(cdtype),
+                    [level_sizes[i] for i in wide]
                 )
-                level_maps = None
+                pyramid = dict(zip(wide, pyr_wide))
             for li, scale in enumerate(scales):
-                if level_maps is not None:
+                if li in level_maps:
                     probs1, reg = level_maps[li]
                 elif self.fast_pnet:
                     reg, probs = _fused_pnet_apply(
