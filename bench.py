@@ -341,7 +341,13 @@ def main():
     enable_compilation_cache()
 
     production = _flag("production")
-    batch = int(float(_arg("batch", 32)))
+    # batch 64 default since round 4: with the fused stage-1 the
+    # 32-frame chunk shrank to ~9 ms, where the relay's dispatch
+    # jitter is ~8% of the line; 64-frame chunks amortise it and
+    # measure strictly faster (14,520 vs 12,386-14,356 in the same
+    # session). Round-2's batch-64 rejection (-3%) predates the
+    # cascade fusion. --batch=32 reproduces the old line.
+    batch = int(float(_arg("batch", 64)))
     size = 640
     faces_per_frame = int(float(_arg("faces_per_frame", 4)))
     # the single drain fetch at the end pays one relay round trip
