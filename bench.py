@@ -384,12 +384,19 @@ def main():
     # reference's celeb_stat_dynamic_itv.sh config) first, then the
     # default demo-CLI line; emit ONE JSON line carrying both (the
     # default line as the headline, the production numbers nested).
+    # Per-line batch optima (measured round 4): the default line peaks
+    # at 64-frame chunks (14,593 vs 13,884 at 128), the production
+    # line at 128 (3,339 vs 2,935 at 64 and 3,236 at 256 — the deep
+    # encoder+emotion stages gain more from a 512-face batch than the
+    # short MTCNN chunk does). An explicit --batch pins both.
+    batch_given = any(a.startswith("--batch") for a in sys.argv)
+    prod_batch = batch if batch_given else 128
     print("[bench] production line "
           "(retinaface+iresnet100+emotion, 1020 classes) ...",
           file=sys.stderr)
     prod = run_config(True, "retinaface", "iresnet100", True, 1020,
-                      target_fs, batch, size, faces_per_frame, iters,
-                      face_cap_arg, mfu_stages)
+                      target_fs, prod_batch, size, faces_per_frame,
+                      iters, face_cap_arg, mfu_stages)
     print("[bench] " + json.dumps(prod), file=sys.stderr)
     print("[bench] default line (mtcnn+facenet, 1001 classes) ...",
           file=sys.stderr)
