@@ -348,6 +348,9 @@ def main():
     # session). Round-2's batch-64 rejection (-3%) predates the
     # cascade fusion. --batch=32 reproduces the old line.
     batch = int(float(_arg("batch", 64)))
+    if production and not any(a.startswith("--batch")
+                              for a in sys.argv):
+        batch = 128  # the production line's measured optimum
     size = 640
     faces_per_frame = int(float(_arg("faces_per_frame", 4)))
     # the single drain fetch at the end pays one relay round trip
