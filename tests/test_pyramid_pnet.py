@@ -90,6 +90,39 @@ def test_pyramid_pnet_bf16_close(setup):
             < 0.08 * scale
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pyramid_pnet_random_shapes(setup, seed):
+    """Property check: random frame/level geometries (odd/even mixes,
+    tiny tail levels) stay parity-exact with the XLA path."""
+    pvars, _ = setup
+    gen = np.random.default_rng(100 + seed)
+    h = int(gen.integers(40, 190))
+    w = int(gen.integers(40, 250))
+    imgs = jnp.asarray(gen.uniform(0, 255, (1, h, w, 3))
+                       .astype(np.float32))
+    sizes = []
+    s = 1.0
+    while True:
+        oh, ow = int(h * s), int(w * s)
+        if min(oh, ow) < 14 or len(sizes) >= 5:
+            break
+        sizes.append((oh, ow))
+        s *= float(gen.uniform(0.55, 0.75))
+    assert sizes
+    results = pyramid_pnet(pvars, imgs, sizes, dtype=jnp.float32,
+                           interpret=True)
+    pyr = pyramid_area_resize(imgs, sizes)
+    for lvl, (probs1, reg) in zip(pyr, results):
+        ref_reg, ref_probs = _fused_pnet_apply(
+            pvars, _normalize(lvl), jnp.float32)
+        np.testing.assert_allclose(np.asarray(probs1),
+                                   np.asarray(ref_probs[..., 1]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(reg),
+                                   np.asarray(ref_reg),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_supports_gate_wide_levels():
     """Levels wider than one-row-per-128-lanes are rejected — the
     stock min_face_size=20 on 640px frames must fall back to the XLA
