@@ -91,7 +91,7 @@ class FusedRecognitionEngine:
                  use_pallas_warp=None, emotion=None,
                  emotion_variables=None, emotion_size=224,
                  emotion_topk=6, mesh=None, face_cap=None,
-                 face_hint=None):
+                 face_hint=None, fused_emotion_stem=None):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -118,6 +118,22 @@ class FusedRecognitionEngine:
         self.emotion_variables = emotion_variables
         self.emotion_size = int(emotion_size)
         self.emotion_topk = int(emotion_topk)
+        # emotion stem as one Pallas GEMM (ops/emotion_stem_pallas):
+        # exact fold of resize(112->224)+conv7x7/s2+BN+ReLU+maxpool.
+        # Default OFF — measured and REJECTED on the v5e: production
+        # 3,330 -> 3,201 faces/sec (153.4 -> 160.0 ms/chunk). The
+        # ~1.3 GB of intermediates it removes (~1.6 ms of HBM) costs
+        # less than the formulation's arithmetic inflation (~282
+        # extra GFLOP of subposition + lane padding) plus the
+        # pack/unpack transposes. Kept opt-in + parity-tested as the
+        # conv+pool-fusion pattern's second negative boundary.
+        from ..models.resnet_2_branch import ResNet2Branch
+
+        self.fused_emotion_stem = (
+            bool(fused_emotion_stem)
+            and isinstance(emotion, ResNet2Branch)
+            and self.target_fs == 112 and self.emotion_size == 224
+        )
         self.mesh = mesh
         if face_cap is None:
             self.face_buckets = None
@@ -278,11 +294,24 @@ class FusedRecognitionEngine:
             if sat is not None:
                 out["sat_counts"] = sat
             if emotion is not None:
-                from ..ops.image import area_resize, imagenet_normalize
+                if self.fused_emotion_stem:
+                    from ..ops.emotion_stem_pallas import (
+                        emotion_apply_fused,
+                    )
 
-                ex = area_resize(faces, (emotion_size, emotion_size))
-                ex = imagenet_normalize(ex / 255.0).astype(cdtype)
-                logits, _ = emotion.apply(emotion_vars, ex, train=False)
+                    logits, _ = emotion_apply_fused(
+                        emotion, emotion_vars, faces, cdtype)
+                else:
+                    from ..ops.image import (
+                        area_resize,
+                        imagenet_normalize,
+                    )
+
+                    ex = area_resize(faces,
+                                     (emotion_size, emotion_size))
+                    ex = imagenet_normalize(ex / 255.0).astype(cdtype)
+                    logits, _ = emotion.apply(emotion_vars, ex,
+                                              train=False)
                 logits = logits.astype(jnp.float32)
                 eprob = jax.nn.softmax(logits, axis=-1)
                 top_p, top_idx = jax.lax.top_k(eprob, emotion_topk)
