@@ -348,8 +348,9 @@ def main():
     # session). Round-2's batch-64 rejection (-3%) predates the
     # cascade fusion. --batch=32 reproduces the old line.
     batch = int(float(_arg("batch", 64)))
-    if production and not any(a.startswith("--batch")
-                              for a in sys.argv):
+    batch_given = any(a == "--batch" or a.startswith("--batch=")
+                      for a in sys.argv)
+    if production and not batch_given:
         batch = 128  # the production line's measured optimum
     size = 640
     faces_per_frame = int(float(_arg("faces_per_frame", 4)))
@@ -392,7 +393,6 @@ def main():
     # line at 128 (3,339 vs 2,935 at 64 and 3,236 at 256 — the deep
     # encoder+emotion stages gain more from a 512-face batch than the
     # short MTCNN chunk does). An explicit --batch pins both.
-    batch_given = any(a.startswith("--batch") for a in sys.argv)
     prod_batch = batch if batch_given else 128
     print("[bench] production line "
           "(retinaface+iresnet100+emotion, 1020 classes) ...",

@@ -171,11 +171,18 @@ def _face_cap_arg(value):
 
 
 def build_fused_engine(models, target_fs, emotion_topk=6,
-                       face_cap=None, compute_dtype=None):
+                       face_cap=None, compute_dtype=None,
+                       n_devices=1):
     """Fused single-program engine over the loaded models (MTCNN
     detector path). When the emotion model is loaded it fuses into the
     same device program (reference emotion flow: demo_image.py:79-110
-    ran it as a separate host pass per chunk)."""
+    ran it as a separate host pass per chunk).
+
+    n_devices > 1 (or 0 = every visible device) builds a
+    ``('data', 'model')`` mesh and shards each frame chunk over the
+    'data' axis — the multi-chip scale-out of the reference's
+    single-GPU video loop (demo_video.py:86-192); weights replicate
+    and XLA inserts the ICI collectives."""
     from vn_celeb_face_recognition_tpu.pipeline.engine import (
         FusedRecognitionEngine,
     )
@@ -188,9 +195,25 @@ def build_fused_engine(models, target_fs, emotion_topk=6,
             "emotion_variables": emt_model.variables,
             "emotion_topk": emotion_topk,
         }
+    import jax
     import jax.numpy as jnp
 
     from vn_celeb_face_recognition_tpu.models import coerce_dtype
+
+    mesh = None
+    n_devices = int(n_devices)
+    if n_devices == 0:
+        n_devices = len(jax.devices())
+    if n_devices > 1:
+        from vn_celeb_face_recognition_tpu.parallel import make_mesh
+
+        avail = len(jax.devices())
+        if n_devices > avail:
+            raise SystemExit(
+                f"--n_devices {n_devices} requested but only {avail} "
+                f"device(s) are visible"
+            )
+        mesh = make_mesh(n_data=n_devices, n_model=1)
 
     compute_dtype = coerce_dtype(compute_dtype)
     return FusedRecognitionEngine(
@@ -199,6 +222,7 @@ def build_fused_engine(models, target_fs, emotion_topk=6,
         classify_model.module, classify_model.variables,
         target_fs=target_fs[0], face_cap=face_cap,
         compute_dtype=compute_dtype or jnp.float32,
+        mesh=mesh,
         **emotion_kwargs,
     )
 
@@ -226,6 +250,7 @@ def process_video(args, models, target_fs, center_point, threshold,
                 models, target_fs, args.topk_emotions,
                 face_cap=getattr(args, "face_cap", None),
                 compute_dtype=getattr(args, "compute_dtype", None),
+                n_devices=getattr(args, "n_devices", 1),
             )
 
     if not os.path.exists(args.output_frame):
@@ -419,6 +444,12 @@ def build_arg_parser():
                         "the engine speculatively picks the smallest "
                         "bucket covering the last chunk's face count "
                         "and re-runs at the next bucket on overflow")
+    p.add_argument("--n_devices", default=1, type=int,
+                   help="shard each fused-engine frame chunk over the "
+                        "first N devices of a ('data','model') mesh "
+                        "(0 = all visible devices; requires "
+                        "--fused_engine). Weights replicate; XLA "
+                        "inserts the ICI collectives")
     p.add_argument("-of", "--output_frame", default="output_frame",
                    type=str)
     # rename the image CLI's -i to the video path

@@ -82,6 +82,9 @@ def test_detector_fused_crop_nets_matches_default():
     np.testing.assert_allclose(
         np.asarray(b1, np.float32), np.asarray(b2, np.float32),
         rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(p1, np.float32), np.asarray(p2, np.float32),
+        rtol=1e-3, atol=1e-3)
 
 
 def test_specs():

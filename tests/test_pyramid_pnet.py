@@ -150,11 +150,14 @@ def test_supports_gate_wide_levels():
     szs = [(int(256 * s + 1), int(258 * s + 1))
            for s in det._scales(256, 258)]
     assert not supports(szs[:1]) and supports(szs[1:2])
-    b_hyb, _ = det.detect(img)
-    b_def, _ = MTCNN(**kw).detect(img)
+    b_hyb, p_hyb = det.detect(img)
+    b_def, p_def = MTCNN(**kw).detect(img)
     np.testing.assert_allclose(
         np.asarray(b_hyb, np.float32), np.asarray(b_def, np.float32),
         rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(p_hyb, np.float32), np.asarray(p_def, np.float32),
+        rtol=1e-3, atol=1e-3)
 
 
 def test_detector_fused_pyramid_pnet_matches_default():
@@ -172,3 +175,6 @@ def test_detector_fused_pyramid_pnet_matches_default():
     np.testing.assert_allclose(
         np.asarray(b1, np.float32), np.asarray(b2, np.float32),
         rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(p1, np.float32), np.asarray(p2, np.float32),
+        rtol=1e-3, atol=1e-3)

@@ -210,7 +210,7 @@ def _run_segment(kernel, x, weights, cin, cout, h, band, w, wp, dtype,
     kw = dict(dtype=dtype, nb=nb, band=band, wp=wp)
     if extra:
         kw.update(extra)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for arr in list(weights) + [cm]:
         in_specs.append(pl.BlockSpec(
             arr.shape, partial(lambda i, j, _n=arr.ndim: (0,) * _n),
