@@ -122,6 +122,59 @@ def convert_state_dict(state_dict, rename=None):
     return out
 
 
+def flax_to_torch_state_dict(variables):
+    """Inverse of :func:`convert_state_dict`: nested flax variables ->
+    flat torch-keyed numpy state_dict.
+
+    Used to export in-repo-trained weights (e.g. the synthetic-data
+    RetinaFace fit, tools/fit_detector.py) in the SAME npz format the
+    published-checkpoint conversion produces, so every loader
+    (``RetinaFace(weights_path=...)``, the manifest tests) consumes one
+    format. Round-trip invariant (pinned by tests/test_detector_fit.py):
+    ``convert_state_dict(flax_to_torch_state_dict(v)) == v``.
+    """
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+    bn_scopes = {path[:-1] for path, _ in flatten_tree(batch_stats)}
+
+    out = {}
+    for path, value in flatten_tree(batch_stats):
+        scope, leaf = path[:-1], path[-1]
+        key = ".".join(scope)
+        if leaf == "mean":
+            out[key + ".running_mean"] = np.asarray(value)
+        elif leaf == "var":
+            out[key + ".running_var"] = np.asarray(value)
+        else:
+            raise ValueError(f"Unhandled batch_stats leaf: {path}")
+    for path, value in flatten_tree(params):
+        scope, leaf = path[:-1], path[-1]
+        key = ".".join(scope)
+        value = np.asarray(value)
+        if leaf == "scale":
+            if scope not in bn_scopes:
+                raise ValueError(f"scale outside BatchNorm at {path}")
+            out[key + ".weight"] = value
+        elif leaf == "kernel":
+            if value.ndim == 4:
+                out[key + ".weight"] = np.ascontiguousarray(
+                    np.transpose(value, (3, 2, 0, 1)))
+            elif value.ndim == 2:
+                out[key + ".weight"] = np.ascontiguousarray(
+                    np.transpose(value, (1, 0)))
+            else:
+                raise ValueError(
+                    f"Unhandled kernel shape {value.shape} at {path}")
+        elif leaf == "bias":
+            out[key + ".bias"] = value
+        elif leaf == "alpha":
+            # PReLU: torch stores the slope vector as `weight`
+            out[key + ".weight"] = value
+        else:
+            raise ValueError(f"Unhandled flax param leaf: {path}")
+    return out
+
+
 def load_torch_checkpoint(path):
     """torch.load a checkpoint file into numpy tensors (host only)."""
     import torch
