@@ -9,12 +9,26 @@ FLOP table bench_flops.json written by tools/flops_audit.py).
 Configurations:
   (default)                MTCNN + InceptionResnetV1, 1001 classes —
                            the reference demo CLI defaults
-                           (/root/reference/demo_image.py:312-352).
+                           (/root/reference/demo_image.py:312-352) at
+                           the tuned min_face_size=50 operating point.
   --production             RetinaFace cfg_mnet + iresnet100 + fused
                            emotion head + 1020-class MLP — the exact
                            published production pipeline
                            (/root/reference/scripts/celeb_stat_dynamic_itv.sh:1-8).
+  --detector=mtcnn_stock   the STOCK demo detector config
+                           (min_face_size=20, the reference's own
+                           default, /root/reference/models/mtcnn.py:201).
+  --train                  the online-aug TRAINING step (device
+                           facenet_aug -> frozen encoder -> MLP update,
+                           cfg/train_cfg_aug_emb_classify.json's
+                           AugClassificationTrainer) in images/sec/chip.
   --detector= --encoder= --emotion=1 --num_classes=  compose freely.
+
+Each timed line runs --repeats=3 passes of --iters chunks over the same
+warm programs and reports the MEDIAN with min/max spread (at ~9 ms
+chunks the relay's dispatch jitter swings one sample ~±8%). The bare
+run emits ONE JSON line: the default metric with `production`, `stock`
+and `train` objects nested.
 
 Face-size semantics: aligned faces are target_fs=112 for EVERY encoder
 — the reference's own demo/production default (-tg_fs 112,
@@ -116,7 +130,7 @@ def load_flops_entry(det_kind, enc_kind, emotion, batch, size, face_cap,
 
 def run_config(production, det_kind, enc_kind, with_emotion,
                num_classes, target_fs, batch, size, faces_per_frame,
-               iters, face_cap_arg, mfu_stages):
+               iters, face_cap_arg, mfu_stages, repeats=3):
     import jax
     import jax.numpy as jnp
 
@@ -149,6 +163,15 @@ def run_config(production, det_kind, enc_kind, with_emotion,
                          "retinaface_mnet025.npz",
             dtype=jnp.bfloat16,
         )
+    elif det_kind == "mtcnn_stock":
+        # the reference's STOCK demo configuration: min_face_size=20
+        # (/root/reference/models/mtcnn.py:201 default, the demo CLIs'
+        # -mfs default) — an 11-level pyramid whose first level is
+        # 385 px. Capacity caps stay at the constructor's area-scaled
+        # defaults; only out_cap matches the tuned line's per-frame
+        # budget so the faces/sec basis is comparable.
+        detector = MTCNN(min_face_size=20, keep_all=True, out_cap=8,
+                         dtype=jnp.bfloat16)
     else:
         detector = MTCNN(min_face_size=50, keep_all=True,
                          pnet_cap_per_scale=128, cross_cap=256,
@@ -258,12 +281,18 @@ def run_config(production, det_kind, enc_kind, with_emotion,
     # NOTE on timing: on this relay backend block_until_ready does NOT
     # track remote completion — executions run in order on the single
     # chip, so fetching a scalar from the LAST output drains the whole
-    # queue and bounds the true end-to-end time.
-    t0 = time.time()
-    for i in range(iters):
-        out = engine.process(chunk_devs[i % 2])
-    float(np.asarray(jax.device_get(out["scores"]))[0, 0])
-    dt = time.time() - t0
+    # queue and bounds the true end-to-end time. The loop runs
+    # `repeats` times (same warm programs): at ~9 ms chunks the relay's
+    # dispatch jitter swings a single sample ~±8%, so the reported
+    # value is the MEDIAN run with the min/max spread alongside.
+    run_dts = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        for i in range(iters):
+            out = engine.process(chunk_devs[i % 2])
+        float(np.asarray(jax.device_get(out["scores"]))[0, 0])
+        run_dts.append(time.time() - t0)
+    dt = sorted(run_dts)[len(run_dts) // 2]  # median
     chunk_ms = dt / iters * 1000.0
 
     faces_basis = valid_per_chunk
@@ -282,6 +311,8 @@ def run_config(production, det_kind, enc_kind, with_emotion,
     total_faces = faces_basis * iters
     faces_per_sec = total_faces / dt
     frames_per_sec = batch * iters / dt
+    runs_fps = sorted(round(faces_basis * iters / d, 1)
+                      for d in run_dts)
 
     # ---- MFU from the committed analytic FLOP table ------------------
     flops_entry = load_flops_entry(det_kind, enc_kind, with_emotion,
@@ -322,6 +353,10 @@ def run_config(production, det_kind, enc_kind, with_emotion,
         "value": round(faces_per_sec, 2),
         "unit": "faces/sec/chip",
         "vs_baseline": round(faces_per_sec / 5000.0, 4),
+        "runs": {"n": len(runs_fps), "iters_per_run": iters,
+                 "faces_per_sec_min": runs_fps[0],
+                 "faces_per_sec_median": round(faces_per_sec, 1),
+                 "faces_per_sec_max": runs_fps[-1]},
     }
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
@@ -330,6 +365,129 @@ def run_config(production, det_kind, enc_kind, with_emotion,
         result["stage_flops_pct"] = stage_pct
     if stage_mfu is not None:
         result["stage_mfu"] = stage_mfu
+    return result
+
+
+def run_train(enc_kind, num_classes, batch, target_fs, iters, repeats):
+    """Online-aug TRAINING throughput: the AugClassificationTrainer's
+    exact step semantics (cfg/train_cfg_aug_emb_classify.json — device
+    facenet_aug -> frozen encoder -> trainable MLP, weight-masked NLL,
+    reference-style Adam) as one jitted step, images/sec/chip.
+
+    The reference's primary workload is this trainer
+    (/root/reference/train.py + online_aug_trainer.py:6-33); its repo
+    never published a training-throughput number.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vn_celeb_face_recognition_tpu.models import (
+        InceptionResnetV1,
+        MLPModel,
+        iresnet100,
+    )
+    from vn_celeb_face_recognition_tpu.ops import augment as A
+    from vn_celeb_face_recognition_tpu.training.losses import (
+        neg_log_llhood,
+    )
+    from vn_celeb_face_recognition_tpu.training.optim import (
+        make_optimizer,
+    )
+
+    if enc_kind == "iresnet100":
+        # cfg/train_cfg_aug_emb_classify.json chosen_idx_enc=2
+        encoder = iresnet100(dtype=jnp.bfloat16)
+    else:
+        encoder = InceptionResnetV1(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    enc_vars = encoder.init(key,
+                            jnp.zeros((1, target_fs, target_fs, 3)))
+    mlp = MLPModel(input_dim=512, num_classes=num_classes)
+    variables = mlp.init(key, jnp.zeros((1, 512)))
+    tx = make_optimizer("Adam", {"lr": 1e-4, "weight_decay": 1e-4})
+    opt_state = tx.init(variables["params"])
+
+    def train_step(variables, opt_state, imgs_u8, target, weight, rng):
+        rng_tf, rng_do = jax.random.split(rng)
+        x = A.batch_apply(A.facenet_aug, rng_tf,
+                          imgs_u8.astype(jnp.float32))
+        emb = jax.lax.stop_gradient(
+            encoder.apply(enc_vars, x, train=False))
+
+        def loss_of(params):
+            out = mlp.apply(dict(variables, params=params), emb,
+                            train=True, rngs={"dropout": rng_do})
+            return neg_log_llhood(out, target, weight)
+
+        loss, grads = jax.value_and_grad(loss_of)(variables["params"])
+        upd, opt_state2 = tx.update(grads, opt_state,
+                                    variables["params"])
+        params = optax.apply_updates(variables["params"], upd)
+        return dict(variables, params=params), opt_state2, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # real face crops at the encoder size, random labels
+    from PIL import Image
+
+    gen = np.random.default_rng(0)
+    files = sorted(glob.glob(os.path.join(HERE, "data", "*.png")))
+    crops = [np.asarray(Image.open(f).convert("RGB").resize(
+        (target_fs, target_fs)), np.uint8) for f in files] or [
+        gen.integers(0, 255, size=(target_fs, target_fs, 3),
+                     dtype=np.uint8)]
+    imgs = np.stack([crops[i % len(crops)] for i in range(batch)])
+    target = gen.integers(0, num_classes, size=(batch,))
+    weight = np.ones((batch,), np.float32)
+    imgs_dev = jax.device_put(imgs)
+    target_dev = jax.device_put(target)
+    weight_dev = jax.device_put(weight)
+
+    rng = jax.random.PRNGKey(1)
+    variables, opt_state, loss = step(
+        variables, opt_state, imgs_dev, target_dev, weight_dev, rng)
+    loss0 = float(np.asarray(loss))  # drain + sanity
+
+    run_dts = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        for i in range(iters):
+            rng = jax.random.fold_in(rng, i)
+            variables, opt_state, loss = step(
+                variables, opt_state, imgs_dev, target_dev, weight_dev,
+                rng)
+        float(np.asarray(loss))
+        run_dts.append(time.time() - t0)
+    dt = sorted(run_dts)[len(run_dts) // 2]
+    loss1 = float(np.asarray(loss))
+    step_ms = dt / iters * 1000.0
+    imgs_per_sec = batch * iters / dt
+    runs_ips = sorted(round(batch * iters / d, 1) for d in run_dts)
+
+    result = {
+        "metric": f"online-aug train step (facenet_aug + frozen "
+                  f"{enc_kind} + MLP update, batch {batch}, "
+                  f"{target_fs}px, {num_classes} classes, "
+                  f"{step_ms:.1f} ms/step, loss {loss0:.3f} -> "
+                  f"{loss1:.3f} over the timed steps)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "runs": {"n": len(runs_ips), "iters_per_run": iters,
+                 "images_per_sec_min": runs_ips[0],
+                 "images_per_sec_median": round(imgs_per_sec, 1),
+                 "images_per_sec_max": runs_ips[-1]},
+    }
+    path = os.path.join(HERE, "bench_flops.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            table = json.load(fh)
+        entry = table.get(f"train|enc={enc_kind}|batch={batch}"
+                          f"|nc={num_classes}|tfs={target_fs}")
+        if entry:
+            achieved = entry["total_flops"] / (dt / iters)
+            result["mfu"] = round(achieved / V5E_BF16_PEAK, 4)
+            result["achieved_tflops"] = round(achieved / 1e12, 2)
     return result
 
 
@@ -358,6 +516,7 @@ def main():
     # (25-100 ms through this rig's tunnel); 60 iterations amortise it
     # to <2% of a ~12 ms chunk (at 20 it was up to 5 ms/chunk of noise)
     iters = int(float(_arg("iters", 60)))
+    repeats = int(float(_arg("repeats", 3)))
     det_kind = _arg("detector",
                     "retinaface" if production else "mtcnn").lower()
     enc_kind = _arg("encoder",
@@ -369,6 +528,16 @@ def main():
     mfu_stages = _flag("mfu_stages")
     face_cap_arg = _arg("face_cap", None)
 
+    if _flag("train"):
+        # training-throughput line only (the bare run nests one too)
+        train_batch = batch if batch_given else 256
+        result = run_train(
+            _arg("encoder", "iresnet100").lower(),
+            int(float(_arg("num_classes", 1001))), train_batch,
+            target_fs, iters, repeats)
+        print(json.dumps(result))
+        return
+
     explicit = production or any(
         a.startswith(f"--{n}") for a in sys.argv
         for n in ("detector", "encoder", "emotion", "num_classes",
@@ -379,7 +548,7 @@ def main():
         result = run_config(production, det_kind, enc_kind,
                             with_emotion, num_classes, target_fs,
                             batch, size, faces_per_frame, iters,
-                            face_cap_arg, mfu_stages)
+                            face_cap_arg, mfu_stages, repeats)
         print(json.dumps(result))
         return
 
@@ -399,14 +568,36 @@ def main():
           file=sys.stderr)
     prod = run_config(True, "retinaface", "iresnet100", True, 1020,
                       target_fs, prod_batch, size, faces_per_frame,
-                      iters, face_cap_arg, mfu_stages)
+                      iters, face_cap_arg, mfu_stages, repeats)
     print("[bench] " + json.dumps(prod), file=sys.stderr)
+    # the STOCK demo configuration (min_face_size=20 — the reference
+    # demo CLIs' default): an honest first-class line, not a tuned
+    # operating point. Its chunk is ~20x the tuned line's, so it runs
+    # fewer iterations per repeat; batch 32 matches the recorded
+    # attribution sessions.
+    stock_batch = batch if batch_given else 32
+    print("[bench] stock line (mtcnn min_face=20 + facenet, "
+          "1001 classes) ...", file=sys.stderr)
+    stock = run_config(False, "mtcnn_stock", "facenet", False, 1001,
+                       target_fs, stock_batch, size, faces_per_frame,
+                       max(iters // 4, 10), face_cap_arg, mfu_stages,
+                       repeats)
+    print("[bench] " + json.dumps(stock), file=sys.stderr)
+    # the online-aug training step (the reference's primary workload)
+    print("[bench] train line (facenet_aug + frozen iresnet100 + MLP "
+          "update) ...", file=sys.stderr)
+    train = run_train("iresnet100", 1001,
+                      batch if batch_given else 256, target_fs, iters,
+                      repeats)
+    print("[bench] " + json.dumps(train), file=sys.stderr)
     print("[bench] default line (mtcnn+facenet, 1001 classes) ...",
           file=sys.stderr)
     result = run_config(False, "mtcnn", "facenet", False, 1001,
                         target_fs, batch, size, faces_per_frame, iters,
-                        face_cap_arg, mfu_stages)
+                        face_cap_arg, mfu_stages, repeats)
     result["production"] = prod
+    result["stock"] = stock
+    result["train"] = train
     print(json.dumps(result))
 
 

@@ -60,14 +60,22 @@ def main():
                     help="jax platform (default CPU: leaves the TPU "
                          "free; the step is one jitted program either "
                          "way)")
+    ap.add_argument("--landmarks_cache", default=os.path.join(
+        ROOT, "data", "crop_landmarks.npz"),
+        help="npz cache of the MTCNN-probed crop landmarks (the probe "
+             "costs per-crop cascade compiles on a remote-compile TPU)")
     ap.add_argument("--out", default=os.path.join(
         ROOT, "vn_celeb_face_recognition_tpu", "models", "weights",
         "retinaface_mnet025.npz"))
     args = ap.parse_args()
 
     from vn_celeb_face_recognition_tpu.utils import select_platform
+    from vn_celeb_face_recognition_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
 
     select_platform(args.device)
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -87,15 +95,28 @@ def main():
         conf_sparsity,
         detection_recall,
         make_detection_train_step,
+        make_eval_fns,
         probe_crop_landmarks,
         synth_batch,
     )
 
     rng = np.random.default_rng(args.seed)
     crops = load_crops()
-    print(f"[fit] probing landmarks on {len(crops)} vendored crops "
-          "with the published-weight MTCNN ...")
-    crop_landmarks = probe_crop_landmarks(crops)
+    if args.landmarks_cache and os.path.exists(args.landmarks_cache):
+        cached = np.load(args.landmarks_cache)
+        crop_landmarks = cached["landmarks"]
+        assert crop_landmarks.shape[0] == len(crops), (
+            "landmark cache is stale: re-run with --landmarks_cache "
+            "pointing at a fresh path")
+        print(f"[fit] loaded cached crop landmarks "
+              f"({args.landmarks_cache})")
+    else:
+        print(f"[fit] probing landmarks on {len(crops)} vendored "
+              "crops with the published-weight MTCNN ...")
+        crop_landmarks = probe_crop_landmarks(crops)
+        if args.landmarks_cache:
+            np.savez_compressed(args.landmarks_cache,
+                                landmarks=crop_landmarks)
 
     net = RetinaFaceNet(backbone=cfg_mnet["name"],
                         out_channel=cfg_mnet["out_channel"],
@@ -115,19 +136,20 @@ def main():
     step = make_detection_train_step(
         net, priors, tuple(cfg_mnet["variance"]), tx)
 
-    def current_rf():
-        rf = RetinaFace(backbone_cfg="cfg_mnet")
-        rf.variables = {"params": params, "batch_stats": batch_stats}
-        return rf
+    # ONE wrapper + ONE pair of jitted eval programs for every eval
+    # call (remote TPU compiles cost minutes; see CLAUDE.md)
+    rf = RetinaFace(backbone_cfg="cfg_mnet")
+    conf_fn, detect_fn = make_eval_fns(rf, 8, args.size)
 
     def evaluate():
         erng = np.random.default_rng(12345)
         frames, boxes_n, labels, landms_n, valid = synth_batch(
             erng, 8, args.size, crops, crop_landmarks,
             max_faces=args.max_faces)
-        rf = current_rf()
-        sparse = conf_sparsity(rf, frames)
-        rec = detection_recall(rf, frames, boxes_n * args.size, valid)
+        rf.variables = {"params": params, "batch_stats": batch_stats}
+        sparse = conf_sparsity(rf, frames, conf_fn=conf_fn)
+        rec = detection_recall(rf, frames, boxes_n * args.size, valid,
+                               detect_fn=detect_fn)
         # the bench's own frame distribution: flat-90 background,
         # 144px faces in a grid of 4
         sys.path.insert(0, ROOT)
@@ -144,8 +166,9 @@ def main():
             r, c = divmod(f, grid)
             bboxes[:, f] = (c * cell + pad, r * cell + pad,
                             c * cell + pad + 144, r * cell + pad + 144)
-        bsparse = conf_sparsity(rf, bframes)
-        brec = detection_recall(rf, bframes, bboxes, bvalid)
+        bsparse = conf_sparsity(rf, bframes, conf_fn=conf_fn)
+        brec = detection_recall(rf, bframes, bboxes, bvalid,
+                                detect_fn=detect_fn)
         return sparse, rec, bsparse, brec
 
     t0 = time.time()

@@ -77,6 +77,10 @@ def audit(det_kind="mtcnn", enc_kind="facenet", emotion=False,
     if det_kind == "retinaface":
         detector = RetinaFace(backbone_cfg="cfg_mnet",
                               dtype=jnp.bfloat16)
+    elif det_kind == "mtcnn_stock":
+        # the reference's stock demo config (bench.py's stock line)
+        detector = MTCNN(min_face_size=20, keep_all=True, out_cap=8,
+                         dtype=jnp.bfloat16)
     else:
         detector = MTCNN(min_face_size=50, keep_all=True,
                          pnet_cap_per_scale=128, cross_cap=256,
@@ -174,6 +178,86 @@ def audit(det_kind="mtcnn", enc_kind="facenet", emotion=False,
     return entry
 
 
+def audit_train(enc_kind="iresnet100", batch=256, num_classes=1001,
+                target_fs=112, log=True):
+    """Analytic FLOPs of bench.py's --train step (aug + frozen encoder
+    fwd + MLP fwd/bwd/update), CPU-lowered like the inference stages."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import optax
+
+    from vn_celeb_face_recognition_tpu.models import (
+        InceptionResnetV1,
+        MLPModel,
+        iresnet100,
+    )
+    from vn_celeb_face_recognition_tpu.ops import augment as A
+    from vn_celeb_face_recognition_tpu.training.losses import (
+        neg_log_llhood,
+    )
+    from vn_celeb_face_recognition_tpu.training.optim import (
+        make_optimizer,
+    )
+
+    encoder = (iresnet100(dtype=jnp.bfloat16)
+               if enc_kind == "iresnet100"
+               else InceptionResnetV1(dtype=jnp.bfloat16))
+    key = jax.random.PRNGKey(0)
+    enc_vars = encoder.init(key,
+                            jnp.zeros((1, target_fs, target_fs, 3)))
+    mlp = MLPModel(input_dim=512, num_classes=num_classes)
+    variables = mlp.init(key, jnp.zeros((1, 512)))
+    tx = make_optimizer("Adam", {"lr": 1e-4, "weight_decay": 1e-4})
+    opt_state = tx.init(variables["params"])
+
+    def train_step(variables, opt_state, imgs_u8, target, weight, rng):
+        rng_tf, rng_do = jax.random.split(rng)
+        x = A.batch_apply(A.facenet_aug, rng_tf,
+                          imgs_u8.astype(jnp.float32))
+        emb = jax.lax.stop_gradient(
+            encoder.apply(enc_vars, x, train=False))
+
+        def loss_of(params):
+            out = mlp.apply(dict(variables, params=params), emb,
+                            train=True, rngs={"dropout": rng_do})
+            return neg_log_llhood(out, target, weight)
+
+        loss, grads = jax.value_and_grad(loss_of)(variables["params"])
+        upd, opt_state2 = tx.update(grads, opt_state,
+                                    variables["params"])
+        params = optax.apply_updates(variables["params"], upd)
+        return dict(variables, params=params), opt_state2, loss
+
+    if log:
+        print(f"[flops] lowering train step ({enc_kind}, batch "
+              f"{batch}) ...")
+    total = _flops(
+        train_step, variables, opt_state,
+        jnp.zeros((batch, target_fs, target_fs, 3), jnp.uint8),
+        jnp.zeros((batch,), jnp.int32),
+        jnp.ones((batch,), jnp.float32),
+        jax.random.PRNGKey(1),
+    )
+    key_str = (f"train|enc={enc_kind}|batch={batch}|nc={num_classes}"
+               f"|tfs={target_fs}")
+    entry = {"total_flops": total, "stage_flops": {"train": total},
+             "batch": batch}
+    table = {}
+    if os.path.exists(TABLE_PATH):
+        with open(TABLE_PATH) as fh:
+            table = json.load(fh)
+    table[key_str] = entry
+    with open(TABLE_PATH, "w") as fh:
+        json.dump(table, fh, indent=1, sort_keys=True)
+    if log:
+        print(f"[flops] {key_str}: {total / 1e9:.2f} GFLOP/step "
+              f"-> {TABLE_PATH}")
+    return entry
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--detector", default="mtcnn")
@@ -188,7 +272,14 @@ def main(argv=None):
     p.add_argument("--all_presets", action="store_true",
                    help="audit the default, retinaface, iresnet100 and "
                         "production bench lines in one go")
+    p.add_argument("--train", action="store_true",
+                   help="audit the online-aug train step instead")
     args = p.parse_args(argv)
+
+    if args.train:
+        audit_train(args.encoder, args.batch, args.num_classes,
+                    args.target_fs)
+        return 0
 
     if args.all_presets:
         # two caps per preset: the steady compaction bucket (= the

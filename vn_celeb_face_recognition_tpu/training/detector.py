@@ -177,23 +177,37 @@ def make_detection_train_step(net, priors, variances, tx,
     return step
 
 
-def conf_sparsity(rf, frames_u8, conf_thres=None):
+def make_eval_fns(rf, batch, size):
+    """Build the two jitted eval programs ONCE (remote TPU compiles
+    cost minutes each; re-tracing per eval is free on CPU but not
+    here): a conf-score pass and the full detect path."""
+    sub = jnp.asarray(rf.channels_subtract, jnp.float32)
+
+    @jax.jit
+    def conf_fn(variables, imgs_u8):
+        x = imgs_u8.astype(jnp.float32) - sub
+        _, conf, _ = rf.net.apply(variables, x, train=False)
+        return conf[..., 1]
+
+    return conf_fn, rf._build_detect_fn(batch, size, size)
+
+
+def conf_sparsity(rf, frames_u8, conf_thres=None, conf_fn=None):
     """Mean anchors per frame passing the confidence filter — the
     quantity that drives the NMS fixpoint's convergence cost (dense
     random-weight confidences are its worst case)."""
     conf_thres = rf.conf_thres if conf_thres is None else conf_thres
-    h, w = frames_u8.shape[1:3]
-    x = frames_u8.astype(np.float32) - np.asarray(
-        rf.channels_subtract, np.float32)
-    _, conf, _ = rf.net.apply(rf.variables, jnp.asarray(x), train=False)
-    score = np.asarray(conf[..., 1])
+    if conf_fn is None:
+        conf_fn, _ = make_eval_fns(rf, *frames_u8.shape[:2])
+    score = np.asarray(conf_fn(rf.variables, jnp.asarray(frames_u8)))
     return float((score > conf_thres).sum(axis=1).mean())
 
 
-def detection_recall(rf, frames_u8, gt_boxes, gt_valid, iou=0.5):
+def detection_recall(rf, frames_u8, gt_boxes, gt_valid, iou=0.5,
+                     detect_fn=None):
     """Fraction of GT faces matched (IoU>=iou) by an above-vis_thres
     detection from the full detect path (decode -> top-k -> NMS)."""
-    fn = rf._build_detect_fn(*frames_u8.shape[:3])
+    fn = detect_fn or rf._build_detect_fn(*frames_u8.shape[:3])
     boxes, scores, _, valid = jax.device_get(
         fn(rf.variables, jnp.asarray(frames_u8)))
     hit = 0
