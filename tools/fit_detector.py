@@ -61,7 +61,7 @@ def main():
                          "free; the step is one jitted program either "
                          "way)")
     ap.add_argument("--landmarks_cache", default=os.path.join(
-        ROOT, "data", "crop_landmarks.npz"),
+        ROOT, "meta_data", "crop_landmarks.npz"),
         help="npz cache of the MTCNN-probed crop landmarks (the probe "
              "costs per-crop cascade compiles on a remote-compile TPU)")
     ap.add_argument("--out", default=os.path.join(

@@ -268,3 +268,84 @@ def batch_apply(aug_fn, key, images, **kwargs):
     """vmap an augmenter over a batch with per-image keys."""
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(lambda k, x: aug_fn(k, x, **kwargs))(keys, images)
+
+
+def _facenet_aug_params(key, batch, h, w, out_size, padding=2,
+                        degree_range=(-10.0, 10.0)):
+    """Sample the facenet_aug geometry for a batch and fold it into ONE
+    forward similarity matrix per image.
+
+    rotate(+-10 deg about the centre) then pad-``padding``-and-crop to
+    ``out_size`` is translation-composed-with-rotation — a similarity.
+    Returns (mats [B, 2, 3] forward src->dst, flip [B] bool).
+    """
+    k_rot, k_crop, k_flip = jax.random.split(key, 3)
+    deg = jax.random.uniform(k_rot, (batch,), minval=degree_range[0],
+                             maxval=degree_range[1])
+    rad = deg * jnp.pi / 180.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    k1, k2 = jax.random.split(k_crop)
+    max_y = h + 2 * padding - out_size
+    max_x = w + 2 * padding - out_size
+    y0 = jax.random.randint(k1, (batch,), 0, max_y + 1)
+    x0 = jax.random.randint(k2, (batch,), 0, max_x + 1)
+    # crop at offset (y0, x0) of the padded plane == translate by
+    # -(o - padding) after the centre rotation (zero border both ways)
+    tx = cx - cos * cx + sin * cy - (x0.astype(jnp.float32) - padding)
+    ty = cy - sin * cx - cos * cy - (y0.astype(jnp.float32) - padding)
+    mats = jnp.stack(
+        [jnp.stack([cos, -sin, tx], -1),
+         jnp.stack([sin, cos, ty], -1)],
+        axis=1,
+    )
+    flip = jax.random.bernoulli(k_flip, 0.5, (batch,))
+    offs = jnp.stack([y0 - padding, x0 - padding], -1)  # [B, 2] (oy, ox)
+    return mats, flip, offs
+
+
+def facenet_aug_batch(key, images, out_size=None):
+    """Batched, gather-free ``facenet_aug`` — MEASURED AND REJECTED for
+    the training hot path; kept opt-in as a documented negative result.
+
+    Hypothesis: ``batch_apply(facenet_aug, ...)`` warps each image with
+    the exact bilinear ``warp_affine`` (4 gathers per output pixel), so
+    folding the rotation + crop jitter into ONE similarity map per
+    image and running the batch through the alignment hot-path warp
+    (ops/warp_fast.batched_similarity_warp: quadrant + 3-shear +
+    hat-matrix matmuls, no gathers) should win like it does for
+    alignment. Measured on the v5e (bench.py --train, 256x112px batch,
+    frozen iresnet100 + MLP step): this path 559.0 ms/step vs the
+    vmapped exact-warp path's 171.2 ms/step — a 3.3x REGRESSION. XLA
+    lowers the batch-vmapped small-image gather warp efficiently, while
+    the shear chain pays its static worst-case rotation envelope, the
+    [H, C, W] relayout, and per-grid-step serialization for 256 tiny
+    images; the alignment win (224px windows cut from 640px frames)
+    does not transfer. Adds to docs/tpu_kernel_patterns.md rule #4:
+    XLA's gather lowering is only catastrophic for LARGE source planes.
+
+    Semantics (pinned by tests/test_facenet_aug_batch.py): same
+    parameter distributions as ``facenet_aug`` (reference
+    data_loader/__init__.py:58-65); the 3-shear chain is the documented
+    slightly-softer bilinear of the align path.
+    """
+    from .warp_fast import batched_similarity_warp
+
+    b, h, w, _ = images.shape
+    if out_size is None:
+        out_size = h
+    mats, flip, offs = _facenet_aug_params(key, b, h, w, out_size)
+    out = batched_similarity_warp(images, mats, out_size)
+    # pad-band mask: the sequential pipeline crops the PADDED rotated
+    # canvas, so output pixel (y, x) is the zero pad (not image
+    # content) whenever (y + oy, x + ox) leaves the canvas — the
+    # folded warp would otherwise sample real pixels there
+    oy = offs[:, 0, None]
+    ox = offs[:, 1, None]
+    ys = jnp.arange(out_size)[None, :]
+    row_ok = (ys + oy >= 0) & (ys + oy < h)  # [B, out]
+    col_ok = (ys + ox >= 0) & (ys + ox < w)
+    mask = (row_ok[:, :, None] & col_ok[:, None, :])[..., None]
+    out = jnp.where(mask, out, 0.0)
+    out = jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)
+    return fixed_image_standardization(out)

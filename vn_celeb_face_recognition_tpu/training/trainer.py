@@ -542,6 +542,19 @@ class AugClassificationTrainer(ClassificationTrainer):
             encoder, encoder_variables = model_md.build_model(
                 encoder_info["name"], **encoder_info["args"]
             )
+        if encoder_variables is None:
+            # build_model returns variables only when the config asked
+            # for a pretrained source; a non-pretrained encoder (e.g.
+            # {"pretrained": null}) still needs initialised params —
+            # the reference's torch modules self-initialise in
+            # __init__ (inception_resnet_v1.py), flax modules don't.
+            tf_cfg = config.get("transforms")
+            img_size = (tf_cfg.get("encoder_img_size", 160)
+                        if isinstance(tf_cfg, dict) else 160)
+            encoder_variables = encoder.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, img_size, img_size, 3)),
+            )
         self.encoder = encoder
         self.encoder_variables = encoder_variables
 
