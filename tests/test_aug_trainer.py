@@ -104,3 +104,48 @@ def test_aug_trainer_runs_and_learns(toy_image_dataset, tmp_path):
     # flat-colour classes are separable even through a random encoder
     assert last["neg_log_llhood"] < first["neg_log_llhood"]
     assert last["accuracy"] > 0.5
+
+
+def test_aug_trainer_inits_non_pretrained_encoder_from_config(tmp_path):
+    """A config whose chosen encoder has no pretrained source must still
+    get initialised encoder variables (the reference's torch modules
+    self-initialise in __init__; flax needs an explicit init). Broke the
+    train.py CLI drive with {"pretrained": null} before the fix."""
+    from vn_celeb_face_recognition_tpu.models import MLPModel
+    from vn_celeb_face_recognition_tpu.training import \
+        AugClassificationTrainer
+
+    config = {
+        "transforms": {"name": "facenet_aug", "resize": False,
+                       "encoder_img_size": 160},
+        "metrics": ["accuracy"],
+        "loss": "neg_log_llhood",
+        "trainer": {
+            "name": "AugClassificationTrainer",
+            "resume_path": "",
+            "save_dir": str(tmp_path / "saved"),
+            "device": "CPU",
+            "log_step": 100,
+            "do_validation": False,
+            "validation_step": 1,
+            "epochs": 1,
+            "tracked_metric": ["val_neg_log_llhood", "min"],
+            "patience": 10,
+            "save_period": 10,
+            "track4plot": False,
+            "chosen_idx_enc": 0,
+            "encoders": [
+                {"name": "InceptionResnetV1",
+                 "args": {"pretrained": None}},
+            ],
+        },
+        "optimizer": {"name": "Adam",
+                      "args": {"lr": 0.003, "weight_decay": 0.0}},
+    }
+    model = MLPModel(input_dim=512, num_classes=4)
+    trainer = AugClassificationTrainer(config, model)
+    assert trainer.encoder_variables is not None
+    import jax.numpy as jnp
+
+    emb = trainer._encode(jnp.zeros((2, 160, 160, 3)))
+    assert emb.shape == (2, 512)
