@@ -196,6 +196,43 @@ def main():
                              train=False).sum().astype(jnp.float32)
         return fn
 
+    def make_fused_layer_stage(name):
+        # block0 (stride/downsample) in XLA + the VMEM bottleneck-chain
+        # kernel for the stride-1 tail (ops/bottleneck_pallas)
+        from vn_celeb_face_recognition_tpu.models.resnet_common import (
+            Bottleneck,
+        )
+        from vn_celeb_face_recognition_tpu.ops.bottleneck_pallas import (
+            bottleneck_chain,
+            fold_layer_tail,
+        )
+
+        planes, blocks, stride = lcfg[name]
+        _, cin = lshapes[name]
+        lp = params[f"layer{name[1]}"]
+        ls = stats[f"layer{name[1]}"]
+        side = lshapes[name][0] // stride
+        b0 = Bottleneck(planes, stride,
+                        stride != 1 or cin != planes * 4, dtype=dt)
+        folded = fold_layer_tail(lp, ls, blocks - 1)
+
+        def fn(x, i):
+            y = b0.apply({"params": lp["0"], "batch_stats": ls["0"]},
+                         variant(x, i).astype(dt), train=False)
+            y = bottleneck_chain(y, folded, side, side, planes,
+                                 interpret=False)
+            return y.sum().astype(jnp.float32)
+        return fn
+
+    def stage_netf(x, i):
+        from vn_celeb_face_recognition_tpu.ops.bottleneck_pallas import (
+            emotion_apply_fused_l12,
+        )
+
+        c, p = emotion_apply_fused_l12(model, variables,
+                                       variant(x, i), interpret=False)
+        return c.sum() + p.sum()
+
     def stage_heads(x, i):
         y = jnp.mean(variant(x, i).astype(jnp.float32), axis=(1, 2))
         c = nn.Dense(690, name="fc").apply({"params": params["fc"]}, y)
@@ -251,7 +288,12 @@ def main():
         "heads": (stage_heads, feat7),
         "net": (stage_net, faces224),
         "full": (stage_full, faces112),
+        "l1f": (make_fused_layer_stage("l1"), linputs["l1"]),
+        "l2f": (make_fused_layer_stage("l2"), linputs["l2"]),
+        "netf": (stage_netf, faces224),
     }
+    costs["l1f"], costs["l2f"] = costs["l1"], costs["l2"]
+    costs["netf"] = costs["net"]
     noop_ms = None
     print(f"cap={cap} iters={iters} "
           f"(per-stage programs pay their own ~0.5-1 ms dispatch)")

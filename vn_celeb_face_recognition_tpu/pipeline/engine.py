@@ -91,7 +91,8 @@ class FusedRecognitionEngine:
                  use_pallas_warp=None, emotion=None,
                  emotion_variables=None, emotion_size=224,
                  emotion_topk=6, mesh=None, face_cap=None,
-                 face_hint=None, fused_emotion_stem=None):
+                 face_hint=None, fused_emotion_stem=None,
+                 fused_bottlenecks=None):
         self.detector = detector
         self.encoder = encoder
         self.encoder_variables = encoder_variables
@@ -134,6 +135,19 @@ class FusedRecognitionEngine:
             and isinstance(emotion, ResNet2Branch)
             and self.target_fs == 112 and self.emotion_size == 224
         )
+        # emotion layer1/layer2 stride-1 tails as VMEM bottleneck-chain
+        # Pallas kernels (ops/bottleneck_pallas): profile_emotion
+        # measures both layers HBM-bound ~1.5x over their byte
+        # rooflines at cap=512; the chains keep every intermediate and
+        # the residual on-chip with zero recompute. Opt-in until the
+        # on-device measurement lands; pass fused_bottlenecks=True to
+        # enable (CPU runs it interpreted — tests only).
+        _bn_gate = (
+            isinstance(emotion, ResNet2Branch)
+            and self.emotion_size == 224
+            and tuple(getattr(emotion, "layers", ())) == (3, 4, 6, 3)
+        )
+        self.fused_bottlenecks = bool(fused_bottlenecks) and _bn_gate
         self.mesh = mesh
         if face_cap is None:
             self.face_buckets = None
@@ -310,8 +324,16 @@ class FusedRecognitionEngine:
                     ex = area_resize(faces,
                                      (emotion_size, emotion_size))
                     ex = imagenet_normalize(ex / 255.0).astype(cdtype)
-                    logits, _ = emotion.apply(emotion_vars, ex,
-                                              train=False)
+                    if self.fused_bottlenecks:
+                        from ..ops.bottleneck_pallas import (
+                            emotion_apply_fused_l12,
+                        )
+
+                        logits, _ = emotion_apply_fused_l12(
+                            emotion, emotion_vars, ex)
+                    else:
+                        logits, _ = emotion.apply(emotion_vars, ex,
+                                                  train=False)
                 logits = logits.astype(jnp.float32)
                 eprob = jax.nn.softmax(logits, axis=-1)
                 top_p, top_idx = jax.lax.top_k(eprob, emotion_topk)
