@@ -30,6 +30,28 @@ Applicability: layer1 blocks 1-2 (56x56, P=64, C=256) and layer2
 blocks 1-3 (28x28, P=128, C=512). The stride-2/downsample block 0 of
 each layer stays in XLA (one-off shapes, no chain to fuse). layer3/4
 are flop-bound at 88%+ MFU (profile_emotion) — XLA keeps them.
+
+**MEASURED AND REJECTED** (kept in-tree, parity-tested, opt-in via
+``FusedRecognitionEngine(fused_bottlenecks=True)``). Two variants on
+the v5e at cap=512 (tools/profile_emotion.py --stages=l1f,l2f):
+im2col-scratch conv2 measured l1 27.25 / l2 18.59 ms; direct
+9-accumulated-GEMM conv2 (this file) l1 22.09 / l2 16.66 — vs XLA's
+14.19 / 13.88 for the FULL layers (incl. block 0 the kernel doesn't
+even cover). The bytes the chain removes (~2.5 GB/chunk) are real,
+but the formulation cannot reach the GEMM rate needed to tie
+(achieved 36/78 TFLOP/s vs the ~74/110 needed): every 3x3 tap with
+dx=+-1 is a sublane-misaligned slice whose Mosaic relayout copy
+costs more than the HBM traffic saved, dynamic band slices must be
+8-aligned (forcing whole-M static tap materialisation), bf16 cannot
+use pltpu.roll (32-bit-only), and the l1 GEMMs run at N=64 half-lane
+utilisation. Third negative boundary of the byte-removal fusion
+pattern (after ops/emotion_stem_pallas.py and ops/crops_net_pallas.py
+— see docs/tpu_kernel_patterns.md rule #3): removing intermediate
+bytes loses unless the fusion also deletes a dispatch chain or FLOPs.
+The emotion l1/l2 bandwidth gap (measured ~9 ms over the byte-model
+roofline) is hereby CLOSED as not addressable by hand kernels under
+Mosaic's alignment rules at these channel counts: XLA's conv pipeline
+at 54/85 TFLOP/s with ~515-600 GB/s is the practical frontier.
 """
 
 from functools import partial
@@ -91,13 +113,15 @@ def fold_layer_tail(layer_params, layer_stats, n_blocks):
 
 
 def _tap_masks(h, w, g):
-    """[g*h*w, 16] f32: column t = validity of tap t's source pixel."""
+    """[g*h*w, 16] f32: column t<9 = validity of tap t's source pixel;
+    column 9 = ones (the conv2 bias row's implicit operand)."""
     yy, xx = np.mgrid[0:h, 0:w]
     m = np.zeros((h * w, 16), np.float32)
     for t, (dy, dx) in enumerate(_TAPS):
         ok = ((yy + dy >= 0) & (yy + dy < h)
               & (xx + dx >= 0) & (xx + dx < w))
         m[:, t] = ok.reshape(-1)
+    m[:, 9] = 1.0
     return np.tile(m, (g, 1))
 
 
@@ -108,67 +132,87 @@ def _tap_masks(h, w, g):
 
 def _chain_kernel(x_ref, masks_ref, *refs, h, w, planes, n_blocks,
                   images, mxu, band):
-    out_ref, t1_scr, cat_scr, t2_scr, y_scr = refs[-5:]
-    wrefs = refs[:-5]
+    out_ref, t1_scr, t2_scr, y_scr = refs[-4:]
+    wrefs = refs[:-4]
     m = images * h * w
     c = 4 * planes
     mxu_dt = jnp.dtype(mxu)
 
     # resident map [M, C] plus a persistent ones column feeding the
-    # bias row of every conv1 (conv3 writes never touch column C);
-    # conv GEMMs run in M-bands so the f32 dot outputs and the im2col
-    # scratch stay small (whole-M temporaries blew the 16 MB scoped
-    # VMEM limit by 7 MB at the l1 shapes) — banding is free here:
-    # the 3x3 halo reads t1_scr, which holds the FULL map, so no
-    # recompute is introduced.
+    # bias row of every conv1 (conv3 writes never touch column C)
     y_scr[:, 0:c] = x_ref[...].reshape(m, c)
-    ones = jnp.ones((band, 1), y_scr.dtype)
-    y_scr[:, c:c + 1] = jnp.ones((m, 1), y_scr.dtype)
-    cat_scr[:, 9 * planes:9 * planes + 1] = ones
+    ones = jnp.ones((m, 1), y_scr.dtype)
+    y_scr[:, c:c + 1] = ones
     zeros = jnp.zeros((_GUARD, planes), t1_scr.dtype)
     t1_scr[0:_GUARD] = zeros
     t1_scr[_GUARD + m:2 * _GUARD + m] = zeros
     t2_scr[:, planes:planes + 1] = jnp.ones((m, 1), t2_scr.dtype)
 
+    n_bands = m // band
     for b in range(n_blocks):
         w1, w2, w3 = wrefs[3 * b:3 * b + 3]
-        # conv1 (+folded BN via the ones column) + relu
-        for r in range(0, m, band):
+
+        # band loops are fori_loops, NOT unrolled python loops: Mosaic
+        # keeps every unrolled iteration's vector temporaries live on
+        # the kernel stack (docs/tpu_kernel_patterns.md), which blew
+        # the 16 MB scoped limit by ~5 MB at the l1 shapes
+        def body1(i, _, w1=w1):
+            r = i * band
             t1 = jax.lax.dot_general(
-                y_scr[r:r + band].astype(mxu_dt),
+                y_scr[pl.ds(r, band)].astype(mxu_dt),
                 w1[...].astype(mxu_dt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            t1_scr[_GUARD + r:_GUARD + r + band] = jnp.maximum(
+            t1_scr[pl.ds(_GUARD + r, band)] = jnp.maximum(
                 t1, 0.0).astype(t1_scr.dtype)
-        # conv2 im2col: 9 masked shifted slices -> one GEMM per band
-        for r in range(0, m, band):
-            for t, (dy, dx) in enumerate(_TAPS):
-                o = dy * w + dx
-                tap = t1_scr[_GUARD + r + o:_GUARD + r + o + band]
-                tap = tap * masks_ref[r:r + band, t:t + 1].astype(
-                    tap.dtype)
-                cat_scr[:, t * planes:(t + 1) * planes] = tap
-            t2 = jax.lax.dot_general(
-                cat_scr[...].astype(mxu_dt), w2[...].astype(mxu_dt),
+            return 0
+
+        jax.lax.fori_loop(0, n_bands, body1, 0)
+
+        # conv2: 9 masked shifted tap slices feed 9 accumulated GEMMs
+        # directly (an explicit im2col scratch round-trip measured
+        # WORSE). Tap slices are STATIC — Mosaic allows misaligned
+        # static sublane slices but not misaligned dynamic ones
+        # ("index in dimension 0 must be a multiple of 8"). The bias
+        # row 9P of W2 contracts against masks_ref's ones column 9.
+        t2 = None
+        for t, (dy, dx) in enumerate(_TAPS):
+            o = dy * w + dx
+            tap = t1_scr[_GUARD + o:_GUARD + o + m]
+            tap = tap * masks_ref[:, t:t + 1].astype(tap.dtype)
+            part = jax.lax.dot_general(
+                tap.astype(mxu_dt),
+                w2[t * planes:(t + 1) * planes].astype(mxu_dt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            t2_scr[r:r + band, 0:planes] = jnp.maximum(
-                t2, 0.0).astype(t2_scr.dtype)
+            t2 = part if t2 is None else t2 + part
+        t2 = t2 + jax.lax.dot_general(
+            masks_ref[:, 9:10].astype(mxu_dt),
+            w2[9 * planes:9 * planes + 1].astype(mxu_dt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t2_scr[:, 0:planes] = jnp.maximum(t2, 0.0).astype(
+            t2_scr.dtype)
+
         # conv3 + residual + relu, banded over rows and output lanes;
         # the last block streams straight to the output buffer
         dst = out_ref if b == n_blocks - 1 else y_scr
-        for r in range(0, m, band):
-            t2b = t2_scr[r:r + band].astype(mxu_dt)
+
+        def body3(i, _, w3=w3, dst=dst):
+            r = i * band
+            t2b = t2_scr[pl.ds(r, band)].astype(mxu_dt)
             for ch in range(0, c, _CH):
                 o3 = jax.lax.dot_general(
                     t2b, w3[...][:, ch:ch + _CH].astype(mxu_dt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                o3 = o3 + y_scr[r:r + band, ch:ch + _CH].astype(
-                    jnp.float32)
-                dst[r:r + band, ch:ch + _CH] = jnp.maximum(
+                o3 = o3 + y_scr[pl.ds(r, band),
+                                ch:ch + _CH].astype(jnp.float32)
+                dst[pl.ds(r, band), ch:ch + _CH] = jnp.maximum(
                     o3, 0.0).astype(dst.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_bands, body3, 0)
 
 
 def bottleneck_chain(x, folded, h, w, planes, images_per_step=None,
@@ -222,10 +266,14 @@ def bottleneck_chain(x, folded, h, w, planes, images_per_step=None,
         out_shape=jax.ShapeDtypeStruct((n * h * w, c), dt),
         scratch_shapes=[
             pltpu.VMEM((m + 2 * _GUARD, planes), dt),
-            pltpu.VMEM((band, 9 * planes + 1), dt),
             pltpu.VMEM((m, planes + 1), dt),
             pltpu.VMEM((m, c + 1), dt),
         ],
+        # the default 16 MB scoped limit is conservative; the resident
+        # map + im2col scratch + double-buffered IO for a 56x56x256
+        # image band runs ~20 MB (v5e VMEM is far larger)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(flat, masks, *weights)
     return out.reshape(n, h, w, c)

@@ -136,12 +136,13 @@ class FusedRecognitionEngine:
             and self.target_fs == 112 and self.emotion_size == 224
         )
         # emotion layer1/layer2 stride-1 tails as VMEM bottleneck-chain
-        # Pallas kernels (ops/bottleneck_pallas): profile_emotion
-        # measures both layers HBM-bound ~1.5x over their byte
-        # rooflines at cap=512; the chains keep every intermediate and
-        # the residual on-chip with zero recompute. Opt-in until the
-        # on-device measurement lands; pass fused_bottlenecks=True to
-        # enable (CPU runs it interpreted — tests only).
+        # Pallas kernels (ops/bottleneck_pallas). Default OFF —
+        # measured and REJECTED on the v5e at the production shapes:
+        # l1 22.09 / l2 16.66 ms vs XLA's 14.19 / 13.88 (two kernel
+        # variants measured; the misaligned-tap relayouts cost more
+        # than the ~2.5 GB of intermediates removed — see the module
+        # docstring). Kept opt-in + parity-tested as the byte-removal
+        # fusion pattern's third negative boundary.
         _bn_gate = (
             isinstance(emotion, ResNet2Branch)
             and self.emotion_size == 224
