@@ -156,3 +156,57 @@ def test_batched_aug_distribution_sanity():
     )
     assert len(np.unique(np.asarray(mats)[:, 0, 2])) > 4
     assert 0 < int(np.asarray(flip).sum()) < 16
+
+
+def test_facenet_aug_shear_matches_exact_composite():
+    """facenet_aug_shear (the training hot path: 3-shear rotation in
+    plain XLA) vs the exact per-image composite with identical
+    sampled parameters — bounded like the align path's shear chain."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    imgs = smooth_batch(rng, b=8)
+    b, h, w, _ = imgs.shape
+    key = jax.random.PRNGKey(13)
+    got = np.asarray(A.facenet_aug_shear(key, jnp.asarray(imgs)))
+    assert got.shape == imgs.shape
+
+    # replay the same parameter draws (same key-split structure)
+    k_rot, k_crop, k_flip = jax.random.split(key, 3)
+    deg = np.asarray(jax.random.uniform(k_rot, (b,), minval=-10.0,
+                                        maxval=10.0))
+    k1, k2 = jax.random.split(k_crop)
+    y0 = np.asarray(jax.random.randint(k1, (b,), 0, 5))
+    x0 = np.asarray(jax.random.randint(k2, (b,), 0, 5))
+    flip = np.asarray(jax.random.bernoulli(k_flip, 0.5, (b,)))
+
+    from vn_celeb_face_recognition_tpu.ops.image import warp_affine
+
+    for i in range(b):
+        rad = np.deg2rad(deg[i])
+        cs, sn = np.cos(rad), np.sin(rad)
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        m = np.array([[cs, -sn, cx - cs * cx + sn * cy],
+                      [sn, cs, cy - sn * cx - cs * cy]], np.float32)
+        rot = np.asarray(warp_affine(jnp.asarray(imgs[i]),
+                                     jnp.asarray(m), (h, w)))
+        padded = np.pad(rot, ((2, 2), (2, 2), (0, 0)))
+        ref = padded[y0[i]:y0[i] + h, x0[i]:x0[i] + w]
+        if flip[i]:
+            ref = ref[:, ::-1]
+        ref = np.asarray(fixed_image_standardization(jnp.asarray(ref)))
+        d = np.abs(got[i] - ref) * 128.0  # back to pixel units
+        assert d.mean() < 1.0, d.mean()
+        assert np.percentile(d, 99) < 10.0
+
+
+def test_facenet_aug_shear_distribution_sanity():
+    rng = np.random.default_rng(6)
+    imgs = smooth_batch(rng, b=16)
+    out = np.asarray(
+        A.facenet_aug_shear(jax.random.PRNGKey(3), jnp.asarray(imgs)))
+    assert out.shape == imgs.shape
+    assert np.abs(out).max() <= 1.0 + 1e-5
+    outs2 = np.asarray(
+        A.facenet_aug_shear(jax.random.PRNGKey(4), jnp.asarray(imgs)))
+    assert np.abs(out - outs2).max() > 1e-3  # keys change geometry

@@ -215,8 +215,8 @@ def audit_train(enc_kind="iresnet100", batch=256, num_classes=1001,
 
     def train_step(variables, opt_state, imgs_u8, target, weight, rng):
         rng_tf, rng_do = jax.random.split(rng)
-        x = A.batch_apply(A.facenet_aug, rng_tf,
-                          imgs_u8.astype(jnp.float32))
+        x = A.facenet_aug_shear(rng_tf,
+                                imgs_u8.astype(jnp.float32))
         emb = jax.lax.stop_gradient(
             encoder.apply(enc_vars, x, train=False))
 

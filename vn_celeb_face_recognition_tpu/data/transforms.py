@@ -30,13 +30,13 @@ def transform_default(images, rng=None):
 
 
 def transform_facenet_aug(images, rng):
-    # vmapped per-image pipeline. The gather-free batched rewrite
-    # (ops/augment.facenet_aug_batch, 3-shear warp) was measured and
-    # REJECTED on the v5e: 559 ms vs 171 ms per 256-image train step —
-    # XLA lowers the vmapped exact warp's gathers fine at 112px, while
-    # the shear chain pays its static worst-case rotation envelope per
-    # image (see the facenet_aug_batch docstring).
-    return A.batch_apply(A.facenet_aug, rng, images.astype(jnp.float32))
+    # batched 3-shear pipeline (ops/augment.facenet_aug_shear): the
+    # vmapped exact-warp path costs 137.4 ms of the 171.2 ms train
+    # step at batch 256 on the v5e (80% — tools/profile_train_step);
+    # the XLA K-way-roll shear rotation removes the gathers entirely.
+    # (The Pallas batched_similarity_warp rewrite was also measured:
+    # 559 ms — see facenet_aug_batch's docstring.)
+    return A.facenet_aug_shear(rng, images.astype(jnp.float32))
 
 
 def transform_rank1_aug(images, rng):

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .image import fixed_image_standardization, prewhiten, warp_affine
 
@@ -268,6 +269,150 @@ def batch_apply(aug_fn, key, images, **kwargs):
     """vmap an augmenter over a batch with per-image keys."""
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(lambda k, x: aug_fn(k, x, **kwargs))(keys, images)
+
+
+# ---------------------------------------------------------------------------
+# Batched 3-shear facenet_aug — the training hot path
+# ---------------------------------------------------------------------------
+
+
+def _shear_pass(x, shift, axis, kmax):
+    """Fractional 1-D resample: out[..p..] = x[..p + shift..] along
+    ``axis``, per-(image, line) ``shift`` [B, L] (L = the other
+    spatial axis). Gather-free AND materialisation-free: zero-pad the
+    axis once, then the integer part picks among 2*kmax+2 STATIC
+    SLICES of the padded buffer with ONE ``lax.select_n`` (each
+    output element reads exactly one input element — XLA fuses the
+    slices as offset reads of one buffer, unlike a masked-roll
+    accumulate chain which materialises every term: measured 45.6 ms
+    -> see facenet_aug_shear). The fractional part is one lerp
+    against the +1 slice select. Out-of-range samples read the zero
+    pad (rotation border semantics) — no masks needed."""
+    n = x.shape[axis]
+    kk = jnp.floor(shift)
+    frac = shift - kk
+    idx = jnp.clip(kk.astype(jnp.int32) + kmax, 0, 2 * kmax)
+    if axis == 2:
+        idxb = idx[:, :, None, None]
+        fb = frac[:, :, None, None]
+    else:
+        idxb = idx[:, None, :, None]
+        fb = frac[:, None, :, None]
+    idxb = jnp.broadcast_to(idxb, x.shape)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (kmax, kmax + 1)
+    xp = jnp.pad(x, pad)
+    cases = [
+        jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+        for k in range(2 * kmax + 2)
+    ]
+    a = jax.lax.select_n(idxb, *cases[:2 * kmax + 1])
+    b = jax.lax.select_n(idxb, *cases[1:])
+    return (1.0 - fb) * a + fb * b
+
+
+def _shear_geometry(h, w, degree_range, tmax):
+    """Static pads and slice counts covering every rotation in range
+    plus a folded per-image translation of magnitude <= tmax."""
+    dmax = max(abs(degree_range[0]), abs(degree_range[1]))
+    rmax = dmax * np.pi / 180.0
+    amax = abs(np.tan(rmax / 2.0))
+    bmax = abs(np.sin(rmax))
+    my = 8
+    for _ in range(4):
+        mx = int(np.ceil(2 * amax * (h / 2.0 + my) + tmax)) + 2
+        my = int(np.ceil(bmax * (w / 2.0 + mx) + tmax)) + 2
+    mx = max(mx, 4)
+    kmax_x = int(np.ceil(amax * (h + 2 * my) / 2.0 + 1.1 * tmax)) + 1
+    kmax_y = int(np.ceil(bmax * (w + 2 * mx) / 2.0 + tmax)) + 1
+    return my, mx, kmax_x, kmax_y
+
+
+def facenet_aug_shear(key, images, out_size=None,
+                      degree_range=(-10.0, 10.0), padding=2):
+    """Batched facenet_aug with the rotation as THREE shear passes —
+    the training hot path (same distributions as ``facenet_aug``,
+    reference data_loader/__init__.py:58-65).
+
+    ``batch_apply(facenet_aug, ...)``'s exact bilinear rotation costs
+    137.4 ms of the 171.2 ms train step on the v5e (80%! —
+    tools/profile_train_step.py): XLA lowers the vmapped warp's 4
+    gathers/pixel poorly at batch 256. The sampling rotation
+    R(-theta) = Sx(tan(theta/2)) . Sy(-sin(theta)) . Sx(tan(theta/2))
+    is exact as an operator identity; each shear is a separable 1-D
+    fractional shift LINEAR in the other coordinate, so its integer
+    part takes only ~6-12 distinct values per pass — a K-way masked
+    select over static rolls that XLA fuses into one elementwise op.
+    No gathers, no Pallas, fully batched. The double-lerp chain is
+    the same documented slightly-softer bilinear as the alignment
+    path (ops/warp_fast.py); the reference's own rotation is BICUBIC,
+    so exact-bilinear was already a family choice, and the consumer
+    is a training-time augmentation.
+
+    Zero-fill parity: passes run on a zero-padded canvas sized so no
+    in-range rotation clips content (``_shear_geometry``); the
+    central h x w box is then masked (true rotate clips to the input
+    canvas) before the pad-``padding`` random crop and hflip.
+    """
+    b, h, w, _ = images.shape
+    if out_size is None:
+        out_size = h
+    k_rot, k_crop, k_flip = jax.random.split(key, 3)
+    deg = jax.random.uniform(k_rot, (b,), minval=degree_range[0],
+                             maxval=degree_range[1])
+    rad = deg * jnp.pi / 180.0
+    a = jnp.tan(rad / 2.0)
+    s2 = -jnp.sin(rad)
+    k1, k2 = jax.random.split(k_crop)
+    max_y = h + 2 * padding - out_size
+    max_x = w + 2 * padding - out_size
+    y0 = jax.random.randint(k1, (b,), 0, max_y + 1)
+    x0 = jax.random.randint(k2, (b,), 0, max_x + 1)
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+
+    # the crop is the per-image translation t = (x0-p, y0-p) of the
+    # rotated canvas; since shears are affine it folds into the pass
+    # constants — rotated translation (rx, ry) = R(-theta) t lands as
+    # pass2 += ry, pass3 += rx - a*ry (augmented-matrix identity) —
+    # making the final crop a STATIC slice (a vmapped dynamic_slice
+    # cost a full extra pass)
+    tx = (x0 - padding).astype(jnp.float32)
+    ty = (y0 - padding).astype(jnp.float32)
+    cosr, sinr = jnp.cos(rad), jnp.sin(rad)
+    rx = cosr * tx + sinr * ty
+    ry = -sinr * tx + cosr * ty
+
+    tmax = float(np.ceil(1.2 * max(padding, max_y - padding,
+                                   max_x - padding)) + 1)
+    my, mx, kmax_x, kmax_y = _shear_geometry(h, w, degree_range, tmax)
+    x = jnp.pad(images.astype(jnp.float32),
+                ((0, 0), (my, my), (mx, mx), (0, 0)))
+    hp, wp = h + 2 * my, w + 2 * mx
+    cy, cx = (hp - 1) / 2.0, (wp - 1) / 2.0
+    ys = jnp.arange(hp, dtype=jnp.float32)[None, :] - cy   # [1, Hp]
+    xs = jnp.arange(wp, dtype=jnp.float32)[None, :] - cx   # [1, Wp]
+    # composite sampling map = Sx(pass1) . Sy(pass2) . Sx(pass3) with
+    # pass3 innermost; translation column (w=0 innermost): pass1 gets
+    # u = rx - a*ry, pass2 gets v = ry
+    x = _shear_pass(x, a[:, None] * ys + (rx - a * ry)[:, None], 2,
+                    kmax_x)
+    x = _shear_pass(x, s2[:, None] * xs + ry[:, None], 1, kmax_y)
+    x = _shear_pass(x, a[:, None] * ys, 2, kmax_x)
+    # static crop at the content origin (the reference's window sits
+    # at rot[p + t]; t already rode the shears)
+    out = x[:, my:my + out_size, mx:mx + out_size]
+    # the reference crops the PADDED rotated canvas: output pixel p is
+    # the zero pad (not rotated content) wherever p + t leaves the
+    # h x w canvas — separable per-image band masks
+    ys_o = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    row_ok = ((ys_o + ty[:, None] >= -0.5)
+              & (ys_o + ty[:, None] < h - 0.5))
+    col_ok = ((ys_o + tx[:, None] >= -0.5)
+              & (ys_o + tx[:, None] < w - 0.5))
+    band = row_ok[:, :, None, None] & col_ok[:, None, :, None]
+    out = jnp.where(band, out, 0.0)
+    out = jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)
+    return fixed_image_standardization(out)
 
 
 def _facenet_aug_params(key, batch, h, w, out_size, padding=2,
