@@ -7,10 +7,13 @@ the exact path applies warp_affine with the SAME folded matrix. The
 only difference is the shear chain's documented bilinear softness —
 bounded here like tests/test_warp_fast.py bounds the align path.
 
-NOTE: facenet_aug_batch was measured and REJECTED for the training hot
-path (559 vs 171 ms/step on the v5e — see its docstring); the shipped
-transform_facenet_aug keeps the vmapped exact warp. These tests pin
-the rejected kernel's semantics so the negative result stays honest.
+NOTE: facenet_aug_batch (the Pallas-warp route) was measured and
+REJECTED for the training hot path (559 vs 171 ms/step on the v5e —
+see its docstring); these tests pin the rejected kernel's semantics so
+the negative result stays honest. The SHIPPED transform_facenet_aug is
+facenet_aug_shear (3 select_n shear passes in plain XLA, 44.3 ms/step
+incl. encoder+update), parity-tested below against the same exact
+composite.
 """
 
 import numpy as np
