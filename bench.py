@@ -572,10 +572,12 @@ def main():
     print("[bench] " + json.dumps(prod), file=sys.stderr)
     # the STOCK demo configuration (min_face_size=20 — the reference
     # demo CLIs' default): an honest first-class line, not a tuned
-    # operating point. Its chunk is ~20x the tuned line's, so it runs
-    # fewer iterations per repeat; batch 32 matches the recorded
-    # attribution sessions.
-    stock_batch = batch if batch_given else 32
+    # operating point. Its chunk is ~15x the tuned line's, so it runs
+    # fewer iterations per repeat. Batch sweep (round 5, 3-repeat
+    # medians): 32→2,916 / 64→3,444 / 128→3,966 / 192→3,601 /
+    # 256→3,869 — the deep 11-level pyramid amortises like the
+    # production line, peaking at 128-frame chunks.
+    stock_batch = batch if batch_given else 128
     print("[bench] stock line (mtcnn min_face=20 + facenet, "
           "1001 classes) ...", file=sys.stderr)
     stock = run_config(False, "mtcnn_stock", "facenet", False, 1001,
