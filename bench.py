@@ -57,6 +57,10 @@ import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 V5E_BF16_PEAK = 197e12  # TPU v5e: 197 TFLOP/s bf16 per chip
+# vendored fitted RetinaFace weights — anchored to the repo root so the
+# production line keeps its real detection statistics regardless of cwd
+RF_NPZ = os.path.join(HERE, "vn_celeb_face_recognition_tpu", "models",
+                      "weights", "retinaface_mnet025.npz")
 
 
 def _arg(name, default):
@@ -159,8 +163,7 @@ def run_config(production, det_kind, enc_kind, with_emotion,
 
         detector = RetinaFace(
             backbone_cfg="cfg_mnet",
-            weights_path="vn_celeb_face_recognition_tpu/models/weights/"
-                         "retinaface_mnet025.npz",
+            weights_path=RF_NPZ,
             dtype=jnp.bfloat16,
         )
     elif det_kind == "mtcnn_stock":
@@ -248,10 +251,7 @@ def run_config(production, det_kind, enc_kind, with_emotion,
             int(np.asarray(jax.device_get(out["valid"])).sum())
         )
     valid_per_chunk = sum(valid_counts) / len(valid_counts)
-    rf_random = det_kind == "retinaface" and not os.path.exists(
-        "vn_celeb_face_recognition_tpu/models/weights/"
-        "retinaface_mnet025.npz"
-    )
+    rf_random = det_kind == "retinaface" and not os.path.exists(RF_NPZ)
     # steady-state bucket: the largest observed valid count (covers
     # both alternating chunks; a further compile only if it differs
     # from the hint's bucket). The timed loop then runs this single
@@ -379,52 +379,15 @@ def run_train(enc_kind, num_classes, batch, target_fs, iters, repeats):
     never published a training-throughput number.
     """
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    from vn_celeb_face_recognition_tpu.models import (
-        InceptionResnetV1,
-        MLPModel,
-        iresnet100,
-    )
-    from vn_celeb_face_recognition_tpu.ops import augment as A
-    from vn_celeb_face_recognition_tpu.training.losses import (
-        neg_log_llhood,
-    )
-    from vn_celeb_face_recognition_tpu.training.optim import (
-        make_optimizer,
+    from vn_celeb_face_recognition_tpu.training.aug_step import (
+        make_aug_train_step,
     )
 
-    if enc_kind == "iresnet100":
-        # cfg/train_cfg_aug_emb_classify.json chosen_idx_enc=2
-        encoder = iresnet100(dtype=jnp.bfloat16)
-    else:
-        encoder = InceptionResnetV1(dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    enc_vars = encoder.init(key,
-                            jnp.zeros((1, target_fs, target_fs, 3)))
-    mlp = MLPModel(input_dim=512, num_classes=num_classes)
-    variables = mlp.init(key, jnp.zeros((1, 512)))
-    tx = make_optimizer("Adam", {"lr": 1e-4, "weight_decay": 1e-4})
-    opt_state = tx.init(variables["params"])
-
-    def train_step(variables, opt_state, imgs_u8, target, weight, rng):
-        rng_tf, rng_do = jax.random.split(rng)
-        x = A.facenet_aug_shear(rng_tf,
-                                imgs_u8.astype(jnp.float32))
-        emb = jax.lax.stop_gradient(
-            encoder.apply(enc_vars, x, train=False))
-
-        def loss_of(params):
-            out = mlp.apply(dict(variables, params=params), emb,
-                            train=True, rngs={"dropout": rng_do})
-            return neg_log_llhood(out, target, weight)
-
-        loss, grads = jax.value_and_grad(loss_of)(variables["params"])
-        upd, opt_state2 = tx.update(grads, opt_state,
-                                    variables["params"])
-        params = optax.apply_updates(variables["params"], upd)
-        return dict(variables, params=params), opt_state2, loss
+    # the step the FLOP table was generated from (tools/flops_audit.py
+    # --train builds the SAME program through this builder)
+    train_step, variables, opt_state = make_aug_train_step(
+        enc_kind, num_classes, target_fs)
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
 

@@ -252,6 +252,14 @@ def process_video(args, models, target_fs, center_point, threshold,
                 compute_dtype=getattr(args, "compute_dtype", None),
                 n_devices=getattr(args, "n_devices", 1),
             )
+    if engine is None and int(getattr(args, "n_devices", 1)) != 1:
+        # 0 means "every visible device"; both 0 and >1 only have an
+        # effect through the sharded fused engine — failing loudly
+        # beats a silent single-device run the user believes is sharded
+        raise SystemExit(
+            "--n_devices requires --fused_engine (the per-stage path "
+            "runs single-device)"
+        )
 
     if not os.path.exists(args.output_frame):
         os.makedirs(args.output_frame)

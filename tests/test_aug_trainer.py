@@ -110,7 +110,12 @@ def test_aug_trainer_inits_non_pretrained_encoder_from_config(tmp_path):
     """A config whose chosen encoder has no pretrained source must still
     get initialised encoder variables (the reference's torch modules
     self-initialise in __init__; flax needs an explicit init). Broke the
-    train.py CLI drive with {"pretrained": null} before the fix."""
+    train.py CLI drive with {"pretrained": null} before the fix. The
+    init is lazy — it happens on the FIRST _encode call at the real
+    batch shape, not at __init__ from the transforms' encoder_img_size
+    guess, so spatially-fixed encoders (iresnet's flattened fc) get
+    correctly-shaped params even when the config size disagrees with
+    the data (see the iresnet test below)."""
     from vn_celeb_face_recognition_tpu.models import MLPModel
     from vn_celeb_face_recognition_tpu.training import \
         AugClassificationTrainer
@@ -144,8 +149,52 @@ def test_aug_trainer_inits_non_pretrained_encoder_from_config(tmp_path):
     }
     model = MLPModel(input_dim=512, num_classes=4)
     trainer = AugClassificationTrainer(config, model)
-    assert trainer.encoder_variables is not None
     import jax.numpy as jnp
 
     emb = trainer._encode(jnp.zeros((2, 160, 160, 3)))
+    assert trainer.encoder_variables is not None
+    assert emb.shape == (2, 512)
+
+
+def test_aug_trainer_lazy_init_matches_batch_size_not_config(tmp_path):
+    """A spatially-fixed encoder (iresnet34 flattens a fixed 7x7 grid
+    into its fc Dense) fed 112px crops must get 112px-shaped params
+    even when the transforms config guesses encoder_img_size=160 —
+    eager init at the guessed size built a [51200, 512] fc kernel that
+    crashed the first 112px train step."""
+    from vn_celeb_face_recognition_tpu.models import MLPModel
+    from vn_celeb_face_recognition_tpu.training import \
+        AugClassificationTrainer
+
+    config = {
+        "transforms": {"name": "facenet_aug", "resize": False,
+                       "encoder_img_size": 160},
+        "metrics": ["accuracy"],
+        "loss": "neg_log_llhood",
+        "trainer": {
+            "name": "AugClassificationTrainer",
+            "resume_path": "",
+            "save_dir": str(tmp_path / "saved"),
+            "device": "CPU",
+            "log_step": 100,
+            "do_validation": False,
+            "validation_step": 1,
+            "epochs": 1,
+            "tracked_metric": ["val_neg_log_llhood", "min"],
+            "patience": 10,
+            "save_period": 10,
+            "track4plot": False,
+            "chosen_idx_enc": 0,
+            "encoders": [
+                {"name": "iresnet34", "args": {"pretrained": None}},
+            ],
+        },
+        "optimizer": {"name": "Adam",
+                      "args": {"lr": 0.003, "weight_decay": 0.0}},
+    }
+    model = MLPModel(input_dim=512, num_classes=4)
+    trainer = AugClassificationTrainer(config, model)
+    import jax.numpy as jnp
+
+    emb = trainer._encode(jnp.zeros((2, 112, 112, 3)))
     assert emb.shape == (2, 512)

@@ -187,49 +187,14 @@ def audit_train(enc_kind="iresnet100", batch=256, num_classes=1001,
 
     jax.config.update("jax_platforms", "cpu")
 
-    import optax
-
-    from vn_celeb_face_recognition_tpu.models import (
-        InceptionResnetV1,
-        MLPModel,
-        iresnet100,
-    )
-    from vn_celeb_face_recognition_tpu.ops import augment as A
-    from vn_celeb_face_recognition_tpu.training.losses import (
-        neg_log_llhood,
-    )
-    from vn_celeb_face_recognition_tpu.training.optim import (
-        make_optimizer,
+    from vn_celeb_face_recognition_tpu.training.aug_step import (
+        make_aug_train_step,
     )
 
-    encoder = (iresnet100(dtype=jnp.bfloat16)
-               if enc_kind == "iresnet100"
-               else InceptionResnetV1(dtype=jnp.bfloat16))
-    key = jax.random.PRNGKey(0)
-    enc_vars = encoder.init(key,
-                            jnp.zeros((1, target_fs, target_fs, 3)))
-    mlp = MLPModel(input_dim=512, num_classes=num_classes)
-    variables = mlp.init(key, jnp.zeros((1, 512)))
-    tx = make_optimizer("Adam", {"lr": 1e-4, "weight_decay": 1e-4})
-    opt_state = tx.init(variables["params"])
-
-    def train_step(variables, opt_state, imgs_u8, target, weight, rng):
-        rng_tf, rng_do = jax.random.split(rng)
-        x = A.facenet_aug_shear(rng_tf,
-                                imgs_u8.astype(jnp.float32))
-        emb = jax.lax.stop_gradient(
-            encoder.apply(enc_vars, x, train=False))
-
-        def loss_of(params):
-            out = mlp.apply(dict(variables, params=params), emb,
-                            train=True, rngs={"dropout": rng_do})
-            return neg_log_llhood(out, target, weight)
-
-        loss, grads = jax.value_and_grad(loss_of)(variables["params"])
-        upd, opt_state2 = tx.update(grads, opt_state,
-                                    variables["params"])
-        params = optax.apply_updates(variables["params"], upd)
-        return dict(variables, params=params), opt_state2, loss
+    # the SAME program bench.py --train times (shared builder — the
+    # MFU is only honest if timed and counted steps cannot drift)
+    train_step, variables, opt_state = make_aug_train_step(
+        enc_kind, num_classes, target_fs)
 
     if log:
         print(f"[flops] lowering train step ({enc_kind}, batch "
@@ -261,9 +226,13 @@ def audit_train(enc_kind="iresnet100", batch=256, num_classes=1001,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--detector", default="mtcnn")
-    p.add_argument("--encoder", default="facenet")
+    # per-mode defaults filled after parsing: inference lines audit
+    # facenet/batch-32, --train audits bench.py's train line
+    # (iresnet100/batch-256) so the obvious regeneration command writes
+    # the exact key bench.run_train looks up
+    p.add_argument("--encoder", default=None)
     p.add_argument("--emotion", action="store_true")
-    p.add_argument("--batch", default=32, type=int)
+    p.add_argument("--batch", default=None, type=int)
     p.add_argument("--size", default=640, type=int)
     p.add_argument("--faces_per_frame", default=4, type=int)
     p.add_argument("--face_cap", default=None, type=int)
@@ -277,9 +246,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.train:
-        audit_train(args.encoder, args.batch, args.num_classes,
-                    args.target_fs)
+        audit_train(args.encoder or "iresnet100", args.batch or 256,
+                    args.num_classes, args.target_fs)
         return 0
+    if args.encoder is None:
+        args.encoder = "facenet"
+    if args.batch is None:
+        args.batch = 32
 
     if args.all_presets:
         # two caps per preset: the steady compaction bucket (= the

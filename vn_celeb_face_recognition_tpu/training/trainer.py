@@ -542,22 +542,24 @@ class AugClassificationTrainer(ClassificationTrainer):
             encoder, encoder_variables = model_md.build_model(
                 encoder_info["name"], **encoder_info["args"]
             )
-        if encoder_variables is None:
-            # build_model returns variables only when the config asked
-            # for a pretrained source; a non-pretrained encoder (e.g.
-            # {"pretrained": null}) still needs initialised params —
-            # the reference's torch modules self-initialise in
-            # __init__ (inception_resnet_v1.py), flax modules don't.
-            tf_cfg = config.get("transforms")
-            img_size = (tf_cfg.get("encoder_img_size", 160)
-                        if isinstance(tf_cfg, dict) else 160)
-            encoder_variables = encoder.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, img_size, img_size, 3)),
-            )
+        # build_model returns variables only when the config asked for a
+        # pretrained source; a non-pretrained encoder (e.g.
+        # {"pretrained": null}) still needs initialised params — the
+        # reference's torch modules self-initialise in __init__
+        # (inception_resnet_v1.py), flax modules don't. Init is DEFERRED
+        # to the first _encode call (the first batch through
+        # _ensure_ready) so spatially-fixed encoders (iresnet's
+        # flattened fc, iresnet.py) get params matching the real input
+        # size rather than a config guess.
+        self._encoder_init_rng = jax.random.PRNGKey(seed)
         self.encoder = encoder
         self.encoder_variables = encoder_variables
 
     def _encode(self, x):
+        if self.encoder_variables is None:
+            self.encoder_variables = self.encoder.init(
+                self._encoder_init_rng,
+                jnp.zeros((1,) + tuple(x.shape[1:]), jnp.float32),
+            )
         emb = self.encoder.apply(self.encoder_variables, x, train=False)
         return jax.lax.stop_gradient(emb)
